@@ -1,0 +1,12 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Tests are hermetic and CPU-only; the real-TPU paths are exercised by
+bench.py and __graft_entry__.py.  Env vars must be set before jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
