@@ -3,18 +3,20 @@
 Design (vs the reference's SIMD layered decoder,
 /root/reference/src/demod/dvbs2/codings/xdsopl-ldpc-pabr/layered_decoder.hh):
 
-- Frames ride the trailing (lane) axis: LLRs are laid out (N+1, B) so the
-  per-check gathers/scatters become contiguous row operations over the
-  batch lanes — the TPU analogue of the reference's int8x16 SIMD lanes,
-  except *all* B frames are decoded (the reference fills only lane 0 of
-  16, bbframe_ldpc.cpp:129-133).
-- The check-node graph is one dense [R, deg_max] variable-index matrix,
-  padded with a sentinel column N whose LLR is pinned at +BIG (checks are
-  near-uniform degree in DVB-S2, so padding waste is tiny).
-- Flooding offset-min-sum with per-frame early-exit masking inside one
-  lax.while_loop: all frames run until every frame's syndrome clears or
-  max_trials is hit; converged frames are frozen. Divergent per-frame
-  trial counts are reported like the reference's `ldpc_trials` metric.
+- Frames ride the trailing (lane) axis: all tensors are [..., B] so the
+  per-edge operations are contiguous row gathers over the batch lanes —
+  the TPU analogue of the reference's int8x16 SIMD lanes, except *all* B
+  frames are decoded (the reference fills only lane 0 of 16,
+  bbframe_ldpc.cpp:129-133).
+- Gather-only flooding: the graph is two dense padded index matrices,
+  check->variable [R, D] and variable->edge [N, Dv] (edge slots into the
+  flattened [R*D] message array).  The variable posterior is recomputed by
+  gather+sum each iteration, so there is no scatter in the loop — TPU
+  scatters with duplicate indices compile pathologically (and crash the
+  v5e remote compiler inside while_loop).
+- Offset-min-sum check update with per-frame early-exit masking inside a
+  lax.while_loop; converged frames freeze, divergent per-frame trial
+  counts are reported like the reference's `ldpc_trials` metric.
 
 LLR convention: positive = bit 0 (matches the demapper and the
 reference's hard-slice `buf[i] < 0` in module_dvbs2_demod.cpp:358-360).
@@ -29,23 +31,37 @@ import numpy as np
 
 from ..spec import ldpc_spec
 
-_BIG = 1e9  # sentinel LLR magnitude for padding column
+_BIG = 1e9  # sentinel LLR magnitude for padding
 
 
 @functools.lru_cache()
-def check_index_matrix(table: str) -> np.ndarray:
-    """[R, deg_max] variable indices per check node, padded with N."""
+def graph_tables(table: str):
+    """Static decoder tables.
+
+    Returns (chk_idx [R, D] int32 variable ids padded with N,
+             var_edges [N, Dv] int32 flat edge slots padded with R*D).
+    """
     code = ldpc_spec.get_code(table)
     groups = code.check_edges
-    dmax = max(d for d, _, _ in groups)
-    idx = np.full((code.R, dmax), code.N, np.int32)
+    D = max(d for d, _, _ in groups)
+    chk_idx = np.full((code.R, D), code.N, np.int32)
     for d, checks, vi in groups:
-        idx[checks, :d] = vi
-    return idx
-
-
-def _sign(x):
-    return jnp.where(x < 0, -1.0, 1.0)
+        chk_idx[checks, :d] = vi
+    # invert: edge slot e = c*D + j holds variable chk_idx[c, j]
+    flat = chk_idx.reshape(-1)
+    valid = flat < code.N
+    slots = np.nonzero(valid)[0]
+    vars_ = flat[valid]
+    order = np.argsort(vars_, kind="stable")
+    vars_s, slots_s = vars_[order], slots[order]
+    counts = np.bincount(vars_s, minlength=code.N)
+    Dv = int(counts.max())
+    var_edges = np.full((code.N, Dv), code.R * D, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for v in range(code.N):
+        n = counts[v]
+        var_edges[v, :n] = slots_s[starts[v]:starts[v] + n]
+    return chk_idx, var_edges
 
 
 @functools.partial(jax.jit, static_argnames=("table", "max_trials", "beta"))
@@ -55,60 +71,71 @@ def decode(llr: jax.Array, table: str, max_trials: int = 32,
 
     llr: [B, N] float32, positive = bit 0 (demapper scale, roughly +-50..127).
     Returns (hard_bits [B, N] uint8, trials [B] int32, ok [B] bool).
-    trials = iterations actually spent on that frame (== max_trials when the
-    frame failed to converge; `ok` reports syndrome success).
+    trials = iterations spent on that frame (== max_trials when it failed
+    to converge; `ok` reports syndrome success).
     """
-    idx = jnp.asarray(check_index_matrix(table))      # [R, D]
+    chk_np, var_np = graph_tables(table)
+    chk_idx = jnp.asarray(chk_np)                     # [R, D]
+    var_edges = jnp.asarray(var_np)                   # [N, Dv]
     code = ldpc_spec.get_code(table)
     N, R = code.N, code.R
     B = llr.shape[0]
-    D = idx.shape[1]
+    D = chk_idx.shape[1]
 
-    # lane-major layout: [N+1, B]
-    ext = jnp.concatenate(
-        [llr.T.astype(jnp.float32), jnp.full((1, B), _BIG, jnp.float32)], axis=0)
-    msgs = jnp.zeros((R, D, B), jnp.float32)
+    ch = jnp.concatenate(
+        [llr.T.astype(jnp.float32), jnp.full((1, B), _BIG, jnp.float32)],
+        axis=0)                                       # [N+1, B]
+    msgs0 = jnp.zeros((R * D + 1, B), jnp.float32)    # +1 = padding slot
+
+    def posterior(msgs):
+        contrib = msgs[var_edges]                     # [N, Dv, B]
+        ext = ch[:N] + contrib.sum(axis=1)
+        return jnp.concatenate([ext, jnp.full((1, B), _BIG, jnp.float32)])
 
     def syndrome_ok(ext):
-        hard = (ext[idx] < 0).astype(jnp.int32)        # [R, D, B]
-        parity = jnp.sum(hard, axis=1) % 2             # [R, B]
-        return ~(parity.astype(bool).any(axis=0))      # [B]
+        hard = (ext[chk_idx] < 0).astype(jnp.int32)   # [R, D, B]
+        parity = jnp.sum(hard, axis=1) % 2
+        return ~(parity.astype(bool).any(axis=0))     # [B]
+
+    def check_update(ext, msgs):
+        q = ext[chk_idx] - msgs[:-1].reshape(R, D, B)  # [R, D, B]
+        mag = jnp.abs(q)
+        sgn = jnp.where(q < 0, -1.0, 1.0)
+        # sign product via negativity parity (jnp.prod over the degree axis
+        # SIGSEGVs the v5e remote compiler inside while_loop)
+        nneg = jnp.sum((q < 0).astype(jnp.int32), axis=1)  # [R, B]
+        total_sign = 1.0 - 2.0 * (nneg % 2).astype(jnp.float32)
+        m1 = jnp.min(mag, axis=1)
+        am = jnp.argmin(mag, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, D, B), 1)
+        is_min = col == am[:, None, :]
+        m2 = jnp.min(jnp.where(is_min, _BIG, mag), axis=1)
+        excl_min = jnp.where(is_min, m2[:, None, :], m1[:, None, :])
+        new = total_sign[:, None, :] * sgn * jnp.maximum(excl_min - beta, 0.0)
+        return new.reshape(R * D, B)
 
     def body(carry):
-        ext, msgs, it, done = carry
-        q = ext[idx] - msgs                            # [R, D, B]
-        mag = jnp.abs(q)
-        sgn = _sign(q)
-        total_sign = jnp.prod(sgn, axis=1)             # [R, B]
-        m1 = jnp.min(mag, axis=1)                      # [R, B]
-        am = jnp.argmin(mag, axis=1)                   # [R, B]
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, D, B), 1)
-        mag2 = jnp.where(col == am[:, None, :], _BIG, mag)
-        m2 = jnp.min(mag2, axis=1)                     # [R, B]
-        excl_min = jnp.where(col == am[:, None, :], m2[:, None, :],
-                             m1[:, None, :])
-        excl_sign = total_sign[:, None, :] * sgn
-        new_msgs = excl_sign * jnp.maximum(excl_min - beta, 0.0)
-        # freeze converged frames
-        active = (~done).astype(jnp.float32)[None, None, :]
-        new_msgs = msgs + (new_msgs - msgs) * active
-        delta = new_msgs - msgs
-        ext = ext.at[idx].add(delta)
-        ext = ext.at[N].set(_BIG)                      # re-pin sentinel row
+        msgs, ext, it, done = carry
+        new = check_update(ext, msgs)
+        active = (~done).astype(jnp.float32)[None, :]
+        new = msgs[:-1] + (new - msgs[:-1]) * active  # freeze converged lanes
+        msgs = jnp.concatenate([new, jnp.zeros((1, B), jnp.float32)])
+        ext = posterior(msgs)
         ok = syndrome_ok(ext)
         it = it + (~done).astype(jnp.int32)
         done = done | ok
-        return ext, new_msgs, it, done
+        return msgs, ext, it, done
 
     def cond(carry):
         _, _, it, done = carry
         return (~jnp.all(done)) & (it.max() < max_trials)
 
+    ext0 = posterior(msgs0)
     it0 = jnp.zeros(B, jnp.int32)
-    done0 = syndrome_ok(ext)
-    ext, msgs, it, done = jax.lax.while_loop(
-        cond, body, (ext, msgs, it0, done0))
-    hard = (ext[:N] < 0).astype(jnp.uint8).T           # [B, N]
+    done0 = syndrome_ok(ext0)
+    msgs, ext, it, done = jax.lax.while_loop(
+        cond, body, (msgs0, ext0, it0, done0))
+    hard = (ext[:N] < 0).astype(jnp.uint8).T          # [B, N]
     return hard, it, done
 
 
