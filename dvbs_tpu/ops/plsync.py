@@ -1,0 +1,85 @@
+"""DVB-S2 PL frame synchronization (feed-forward, batched).
+
+Differential SOF+PLS correlation over every symbol offset — the same
+detection statistic as the reference's S2PLSyncBlock
+(/root/reference/src/demod/dvbs2/dvbs2_pl_sync.cpp:102-193) but computed
+for all offsets at once as two 90-tap correlations (one matmul-shaped
+convolution each) instead of a per-offset volk loop, and with frame
+extraction as batched dynamic slices instead of the two-phase
+realign state machine.
+
+CFO-robust: |c| is invariant to a constant frequency offset, and the
+offset rotates c's phase away from +j — the same "d.im > 0" gate as the
+reference (with the CFO pre-corrected upstream, genuine peaks keep
+positive imaginary part).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import plheader
+
+
+@functools.lru_cache()
+def _templates():
+    sof_t, pls_t = plheader.header_diff_templates()
+    return sof_t, pls_t
+
+
+def correlate(z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Differential header correlation at every offset.
+
+    z: [n] complex symbols. Returns (score [n-89] float32 in [0,~1],
+    cvec [n-89] complex64 — the chosen correlation value, whose angle
+    carries the residual CFO x 1 symbol).
+    """
+    d = jnp.concatenate([jnp.zeros(1, z.dtype), z[1:] * jnp.conj(z[:-1])])
+    sof_t, pls_t = _templates()
+    # correlation via convolution with reversed template
+    def corr(temp):
+        t = jnp.asarray(temp[::-1].copy())
+        re = jnp.convolve(jnp.real(d), t, mode="valid")
+        im = jnp.convolve(jnp.imag(d), t, mode="valid")
+        return re + 1j * im
+    csof = corr(sof_t)
+    cpls = corr(pls_t)
+    c0 = csof + cpls      # pilots-off PLS parity
+    c1 = csof - cpls      # pilots-on PLS parity
+    pick1 = jnp.abs(c1) > jnp.abs(c0)
+    c = jnp.where(pick1, c1, c0) / (25.0 + 32.0)
+    return jnp.abs(c).astype(jnp.float32), c.astype(jnp.complex64)
+
+
+def locate_frames(score: jax.Array, frame_len: int, n_frames: int,
+                  search: int = 4, margin: int = 0):
+    """Pick frame starts: global argmax in the window
+    [margin, margin + frame_len), then per-frame local refinement within
+    +-search symbols.  margin keeps the first frame clear of block-edge
+    filter/timing-warm-up transients.
+
+    Returns (starts [n_frames] int32, quality [n_frames] float32).
+    """
+    p0 = margin + jnp.argmax(
+        jax.lax.dynamic_slice(score, (margin,), (frame_len,))).astype(jnp.int32)
+    base = p0 + jnp.arange(n_frames, dtype=jnp.int32) * frame_len
+
+    offs = jnp.arange(-search, search + 1, dtype=jnp.int32)
+    cand = base[:, None] + offs[None, :]
+    cand = jnp.clip(cand, 0, score.shape[0] - 1)
+    vals = score[cand]                         # [F, 2*search+1]
+    best = jnp.argmax(vals, axis=1)
+    starts = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+    quality = jnp.take_along_axis(vals, best[:, None], axis=1)[:, 0]
+    return starts, quality
+
+
+def extract_frames(z: jax.Array, starts: jax.Array, frame_len: int
+                   ) -> jax.Array:
+    """Batched dynamic slice: frames [F, frame_len] from symbol stream."""
+    def one(s):
+        return jax.lax.dynamic_slice(z, (s,), (frame_len,))
+    return jax.vmap(one)(starts)

@@ -62,13 +62,18 @@ def impair(x: np.ndarray, snr_db: float | None = None,
     rng = np.random.default_rng(seed)
     y = x.astype(np.complex64)
     if sco_ppm or delay_samples:
+        # windowed-sinc fractional resampler (16 taps) — a linear
+        # interpolator would add in-band distortion larger than the noise
         ratio = 1.0 + sco_ppm * 1e-6
         t = np.arange(len(y)) * ratio + delay_samples
-        t = t[t <= len(y) - 1]
+        t = t[(t >= 8) & (t <= len(y) - 9)]
         i0 = np.floor(t).astype(np.int64)
-        frac = (t - i0).astype(np.float32)
-        i1 = np.minimum(i0 + 1, len(y) - 1)
-        y = ((1 - frac) * y[i0] + frac * y[i1]).astype(np.complex64)
+        mu = (t - i0)[:, None]
+        k = np.arange(-7, 9)[None, :]
+        w = 0.54 + 0.46 * np.cos(np.pi * (k - mu) / 8)
+        taps = np.sinc(k - mu) * np.where(np.abs(k - mu) <= 8, w, 0)
+        taps /= taps.sum(axis=1, keepdims=True)
+        y = (y[i0[:, None] + k] * taps).sum(axis=1).astype(np.complex64)
     n = len(y)
     ph = phase + cfo * np.arange(n)
     if phase_noise_std:
