@@ -68,15 +68,19 @@ class DVBS2Receiver:
         cfg = self.cfg
         L = cfg.plframe_len
         F = self.n_frames
-        payload_idx = jnp.asarray(plphase.payload_indices(cfg))
-        descr = jnp.asarray(
-            np.conj(scrambling.pl_scrambler_phasors()[:L - 90]))
-        deint = jnp.asarray(interleaver.deinterleave_perm(
-            cfg.constellation, cfg.framesize, cfg.rate))
+        # NOTE: keep closure constants as numpy — device-resident constants
+        # get re-fetched at trace time, which the axon TPU backend cannot do
+        payload_idx = plphase.payload_indices(cfg)
+        descr = np.conj(scrambling.pl_scrambler_phasors()[:L - 90])
+        deint = interleaver.deinterleave_perm(
+            cfg.constellation, cfg.framesize, cfg.rate)
         m = cfg.mod_bits
 
         @jax.jit
-        def run(samples: jax.Array):
+        def run(samples_ri: jax.Array):
+            # complex64 host<->device transfers are unimplemented on the
+            # axon TPU backend — samples arrive as stacked [2, n] float32
+            samples = (samples_ri[0] + 1j * samples_ri[1]).astype(jnp.complex64)
             x = frontend.agc(samples)
             cfo = frontend.coarse_cfo_estimate(x)
             x = frontend.mix(x, cfo)
@@ -117,7 +121,8 @@ class DVBS2Receiver:
             hard, trials, ok = ldpc.decode(
                 llrs, cfg.ldpc_table, max_trials=self.max_ldpc_trials)
             return dict(hard=hard, trials=trials, ldpc_ok=ok,
-                        quality=quality, freq=freq, cfo=cfo,
+                        quality=quality, freq=freq,
+                        cfo=jnp.reshape(cfo, (1,)),
                         pls=pls_idx, pls_conf=pls_conf, starts=starts)
 
         return run
@@ -126,7 +131,9 @@ class DVBS2Receiver:
     def process_symbols_block(self, samples: np.ndarray) -> BlockResult:
         """Process one block of 2-sps samples (length 2*block_symbols)."""
         cfg = self.cfg
-        out = self._sym_fn(jnp.asarray(samples, jnp.complex64))
+        s = np.asarray(samples)
+        ri = np.stack([s.real.astype(np.float32), s.imag.astype(np.float32)])
+        out = self._sym_fn(jnp.asarray(ri))
         hard = np.asarray(out["hard"])
         trials = np.asarray(out["trials"])
         ldpc_ok = np.asarray(out["ldpc_ok"])
@@ -156,6 +163,6 @@ class DVBS2Receiver:
             ldpc_trials=trials,
             bch_corrections=bch_corr,
             detected_pls=np.asarray(out["pls"]),
-            coarse_cfo=float(out["cfo"]),
+            coarse_cfo=float(np.asarray(out["cfo"])[0]),
             n_symbols=int(self.n_frames * cfg.plframe_len),
         )
