@@ -85,7 +85,10 @@ def decode(llr: jax.Array, table: str, max_trials: int = 32,
     ch = jnp.concatenate(
         [llr.T.astype(jnp.float32), jnp.full((1, B), _BIG, jnp.float32)],
         axis=0)                                       # [N+1, B]
-    msgs0 = jnp.zeros((R * D + 1, B), jnp.float32)    # +1 = padding slot
+    # data-tied zeros: keeps while_loop carry sharding consistent when the
+    # decoder runs inside shard_map (varying-manual-axes check)
+    zero_b = 0.0 * llr[:, 0]                          # [B]
+    msgs0 = jnp.zeros((R * D + 1, B), jnp.float32) + zero_b[None, :]
 
     def posterior(msgs):
         contrib = msgs[var_edges]                     # [N, Dv, B]
@@ -131,7 +134,7 @@ def decode(llr: jax.Array, table: str, max_trials: int = 32,
         return (~jnp.all(done)) & (it.max() < max_trials)
 
     ext0 = posterior(msgs0)
-    it0 = jnp.zeros(B, jnp.int32)
+    it0 = zero_b.astype(jnp.int32)
     done0 = syndrome_ok(ext0)
     msgs, ext, it, done = jax.lax.while_loop(
         cond, body, (msgs0, ext0, it0, done0))

@@ -158,7 +158,9 @@ def _vv_group_phases(payload: jax.Array, theta0: jax.Array, group: int):
         k = jnp.round((prev - r) / (jnp.pi / 2))
         cur = r + k * (jnp.pi / 2)
         return cur, cur
-    _, phases = jax.lax.scan(step, theta0, raw.T)
+    # tie the carry to the data so its sharding axes match under shard_map
+    carry0 = theta0 + 0.0 * raw[:, 0]
+    _, phases = jax.lax.scan(step, carry0, raw.T)
     centers = (jnp.arange(G) + 0.5) * group
     return phases.T, centers                       # [F, G], [G]
 
