@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec import modcod, interleaver, scrambling, bch_spec
-from ..ops import frontend, plsync, plphase, plhdr, demap, ldpc
+from ..ops import frontend, plsync, plphase, plhdr, demap, ldpc, bch
 
 
 @dataclasses.dataclass
@@ -40,6 +40,7 @@ class BlockResult:
     detected_pls: np.ndarray      # [F] int32
     coarse_cfo: float             # rad/sample applied to the block
     n_symbols: int                # symbols consumed (frames * L)
+    last_frame_end: int = 0       # symbol index just past the last frame
 
 
 class DVBS2Receiver:
@@ -120,7 +121,9 @@ class DVBS2Receiver:
             llrs = llrs.reshape(F, -1)[:, deint]
             hard, trials, ok = ldpc.decode(
                 llrs, cfg.ldpc_table, max_trials=self.max_ldpc_trials)
-            return dict(hard=hard, trials=trials, ldpc_ok=ok,
+            bch_bad = bch.syndrome_nonzero(hard[:, :cfg.nbch],
+                                           cfg.framesize, cfg.rate)
+            return dict(hard=hard, trials=trials, ldpc_ok=ok, bch_bad=bch_bad,
                         quality=quality, freq=freq,
                         cfo=jnp.reshape(cfo, (1,)),
                         pls=pls_idx, pls_conf=pls_conf, starts=starts)
@@ -139,12 +142,17 @@ class DVBS2Receiver:
         ldpc_ok = np.asarray(out["ldpc_ok"])
         F = hard.shape[0]
 
+        bch_bad = np.asarray(out["bch_bad"])
         bbframes = []
         bch_corr = np.full(F, -1, np.int32)
         frame_ok = np.zeros(F, bool)
         for f in range(F):
-            bits, ncorr = bch_spec.decode(hard[f, :cfg.nbch], cfg.framesize,
-                                          cfg.rate)
+            if not bch_bad[f]:
+                # clean per the on-device GF(2) syndrome matmul: no host work
+                bits, ncorr = hard[f, :cfg.nbch], 0
+            else:
+                bits, ncorr = bch_spec.decode(hard[f, :cfg.nbch],
+                                              cfg.framesize, cfg.rate)
             bch_corr[f] = ncorr
             if ncorr < 0 and not ldpc_ok[f]:
                 continue
@@ -165,4 +173,6 @@ class DVBS2Receiver:
             detected_pls=np.asarray(out["pls"]),
             coarse_cfo=float(np.asarray(out["cfo"])[0]),
             n_symbols=int(self.n_frames * cfg.plframe_len),
+            last_frame_end=int(np.asarray(out["starts"])[-1]) +
+            cfg.plframe_len,
         )

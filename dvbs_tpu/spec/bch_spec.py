@@ -92,11 +92,12 @@ def syndromes(code_bits: np.ndarray, framesize: str, rate: str) -> np.ndarray:
     kbch, nbch, t = BCH_PARAMS[(framesize, rate)]
     gf = field_for(framesize)
     (idx,) = np.nonzero(code_bits)
+    if len(idx) == 0:
+        return np.zeros(2 * t, np.int64)
     powers = nbch - 1 - idx  # coefficient power of each set bit
-    s = np.zeros(2 * t, np.int64)
-    for j in range(1, 2 * t + 1):
-        s[j - 1] = np.bitwise_xor.reduce(gf.alpha_pow(j * powers)) if len(powers) else 0
-    return s
+    j = np.arange(1, 2 * t + 1, dtype=np.int64)
+    vals = gf.alpha_pow(j[:, None] * powers[None, :])   # [2t, nset]
+    return np.bitwise_xor.reduce(vals, axis=1)
 
 
 def decode(code_bits: np.ndarray, framesize: str, rate: str):
