@@ -54,7 +54,7 @@ def main(argv=None):
         out_sink = None
 
     if args.mode == "s":
-        from .models.dvbs_driver import DVBSStream
+        from .models.dvbs import DVBSStream
         stream = DVBSStream(block_symbols=args.block_symbols)
         emit = (lambda b: out_sink.send_raw(b)) if out_sink else (lambda b: None)
     else:

@@ -46,6 +46,27 @@ def coarse_cfo_estimate(x: jax.Array) -> jax.Array:
     return jnp.angle(r)
 
 
+def qpsk_residual_freq(z: jax.Array) -> jax.Array:
+    """Residual carrier frequency of a QPSK symbol stream, rad/symbol.
+
+    4th-power spectral line: the peak bin of FFT(z^4) sits at 4x the
+    residual frequency. Parabolic interpolation refines to a small
+    fraction of a bin; pull-in +-pi/4 rad/symbol. This is the
+    feed-forward replacement for the FLL/Costas frequency acquisition the
+    reference runs per sample (fll.cpp:135-149).
+    """
+    n = z.shape[-1]
+    spec = jnp.abs(jnp.fft.fft(z ** 4))
+    k = jnp.argmax(spec)
+    km = (k - 1) % n
+    kp = (k + 1) % n
+    a, b, c = spec[km], spec[k], spec[kp]
+    delta = 0.5 * (a - c) / (a - 2 * b + c + 1e-12)
+    kf = k + jnp.clip(delta, -0.5, 0.5)
+    kf = jnp.where(kf > n / 2, kf - n, kf)   # signed frequency
+    return (2 * jnp.pi * kf / n) / 4.0
+
+
 def mix(x: jax.Array, freq: jax.Array, phase: jax.Array = 0.0) -> jax.Array:
     """Open-loop NCO: multiply by exp(-j(freq*n + phase)) (FreqShift
     equivalent, freq in rad/sample)."""
@@ -125,13 +146,26 @@ def resample_at(y: jax.Array, t: jax.Array, n_phases: int = 128,
     return jnp.sum(y[idx] * taps, axis=-1).astype(jnp.complex64)
 
 
-def recover_symbols(y2: jax.Array, n_windows: int = 8) -> tuple[jax.Array, jax.Array]:
+def recover_symbols(y2: jax.Array, n_windows: int = 8,
+                    tau_hint: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """Block feed-forward timing recovery at 2 sps.
 
     Estimates tau per sub-window (handles sample-clock drift across the
     block), unwraps, fits linearly, and interpolates one output symbol per
     2 input samples. Returns (symbols [n2//2], tau_path [n_windows]).
+
+    tau_hint: expected tau at the block start (previous block's ending
+    tau) — the unwrapped path is shifted by a whole number of symbols to
+    meet it, which keeps the symbol grid continuous across blocks.
     """
+    z, tau_u, _ = recover_symbols_full(y2, n_windows, tau_hint)
+    return z, tau_u
+
+
+def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
+                         tau_hint: jax.Array | None = None):
+    """As recover_symbols but also returns tau extrapolated to the block
+    end (the next block's tau_hint)."""
     n2 = y2.shape[-1]
     win = (n2 // n_windows) & ~1   # even stride: odd sample offsets alias
     taus = jnp.stack([oerder_meyr_tau(y2[i * win:(i + 1) * win])
@@ -140,6 +174,11 @@ def recover_symbols(y2: jax.Array, n_windows: int = 8) -> tuple[jax.Array, jax.A
     d = jnp.diff(taus)
     d = d - jnp.round(d)
     tau_u = taus[0] + jnp.concatenate([jnp.zeros(1), jnp.cumsum(d)])
+    if tau_hint is not None:
+        # NaN hint = "no hint" (first block)
+        k = jnp.where(jnp.isnan(tau_hint), 0.0,
+                      jnp.round(tau_hint - tau_u[0]))
+        tau_u = tau_u + k
     # linear fit tau(n) on centered/scaled regressor (float32-safe)
     centers = (jnp.arange(n_windows) + 0.5) * win
     c0 = jnp.mean(centers)
@@ -150,4 +189,5 @@ def recover_symbols(y2: jax.Array, n_windows: int = 8) -> tuple[jax.Array, jax.A
     n_nom = 2.0 * k
     tau_n = jnp.mean(tau_u) + slope * (n_nom - c0) / scale
     t = jnp.clip(n_nom - 2.0 * tau_n, 0.0, n2 - 1.0)
-    return resample_at(y2, t), tau_u
+    tau_end = jnp.mean(tau_u) + slope * (n2 - c0) / scale
+    return resample_at(y2, t), tau_u, tau_end
