@@ -111,9 +111,14 @@ class DVBS2Receiver:
                 payload = frames_c[:, 90:] * descr[None, :]
                 if cfg.constellation == modcod.QPSK:
                     vv = plphase.qpsk_vv_track(payload, jnp.zeros(F))
-                    payload = plphase.derotate(payload, vv)
-                    frames_c = frames_c.at[:, 90:].set(
-                        plphase.derotate(frames_c[:, 90:], vv))
+                else:
+                    # pilotless higher-order: decision-directed track
+                    vv = plphase.dd_phase_track(payload, jnp.zeros(F),
+                                                cfg.constellation,
+                                                cfg.g1, cfg.g2)
+                payload = plphase.derotate(payload, vv)
+                frames_c = frames_c.at[:, 90:].set(
+                    plphase.derotate(frames_c[:, 90:], vv))
 
             pls_idx, pls_conf = plhdr.detect_pls(frames_c[:, :90])
 

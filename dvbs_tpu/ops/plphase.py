@@ -209,6 +209,46 @@ def qpsk_vv_track(payload: jax.Array, theta0: jax.Array) -> jax.Array:
     return ramp + _interp_phases(ph2, c2, P)
 
 
+def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
+                   g1: float | None = None, g2: float | None = None,
+                   group: int = 180, n_iter: int = 2) -> jax.Array:
+    """Decision-directed feed-forward phase track for any constellation.
+
+    For pilotless higher-order modes (the reference tracks these with its
+    closed-loop LUT PLL, dvbs2_pll.cpp:34-86): per group, derotate by the
+    current estimate, hard-decide the nearest constellation point, and
+    re-estimate the group phase from sum z*conj(decision); iterate.
+    Unwrap is anchored at theta0 (the header phase).
+    payload: [F, P]. Returns per-symbol phase [F, P].
+    """
+    from ..spec import constellations
+    pts = jnp.asarray(constellations.points(kind, g1, g2))
+    F, P = payload.shape
+    G = P // group
+    z = payload[:, :G * group].reshape(F, G, group)
+    centers = (jnp.arange(G) + 0.5) * group
+
+    def refine(zg, ph):
+        """n_iter decision-directed refinements of one group's phase."""
+        for _ in range(n_iter):
+            zc = zg * jnp.exp(-1j * ph)[:, None]
+            d = jnp.abs(zc[..., None] - pts[None, None, :])
+            ref = pts[jnp.argmin(d, axis=-1)]
+            ph = ph + jnp.angle(jnp.sum(zc * jnp.conj(ref), axis=-1))
+        return ph
+
+    def step(carry_ph, zg):
+        # chain: each group starts from the previous group's estimate so
+        # residual CFO drift never exceeds the decision regions
+        ph = refine(zg, carry_ph)
+        return ph, ph
+
+    z_t = jnp.swapaxes(z, 0, 1)                         # [G, F, group]
+    carry0 = theta0 + 0.0 * z[:, 0, 0].real
+    _, phases = jax.lax.scan(step, carry0, z_t)
+    return _interp_phases(jnp.swapaxes(phases, 0, 1), centers, P)
+
+
 def pilot_anchor_phases(frames: jax.Array, cfg: modcod.ModcodConfig,
                         theta0: jax.Array) -> jax.Array:
     """Piecewise-linear phase over the frame from header + pilot anchors.
