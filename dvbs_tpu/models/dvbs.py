@@ -65,6 +65,7 @@ class DVBSReceiver:
         self._llr_carry = np.zeros(0, np.float32)
         self._front = self._build_front()
         self._hints = np.array([0, 0, 0, 0, 1], np.float32)  # first=1
+        self.last_consumed = 2 * block_symbols
         self.rs_avg_errors = 0.0
 
     # ------------------------------------------------------------------
@@ -162,10 +163,21 @@ class DVBSReceiver:
     # ------------------------------------------------------------------
     def process_block(self, samples: np.ndarray) -> DVBSBlockResult:
         s = np.asarray(samples)
+        n = len(s)
         ri = np.stack([s.real.astype(np.float32), s.imag.astype(np.float32)])
         soft_j, hints_j = self._front(jnp.asarray(ri), jnp.asarray(self._hints))
         soft = np.asarray(soft_j)
-        self._hints = np.asarray(hints_j)
+        old_nco, old_cfo = float(self._hints[1]), None
+        self._hints = np.asarray(hints_j).copy()
+        # fold whole-sample timing drift into the host FIFO advance so the
+        # carried tau stays inside the resampler span
+        tau_end = float(self._hints[2])
+        adv = n - int(round(2.0 * tau_end))
+        self.last_consumed = adv
+        self._hints[2] = tau_end - round(2.0 * tau_end) / 2.0
+        # NCO phase continuity accounts for the actual advance
+        cfo = float(self._hints[0])
+        self._hints[1] = (old_nco + cfo * adv) % (2 * np.pi)
 
         if not self.locked:
             self._try_lock(soft)
@@ -266,7 +278,7 @@ class DVBSStream:
         n = 2 * self.block_symbols
         while len(self._fifo) >= n:
             res = self.rx.process_block(self._fifo[:n])
-            self._fifo = self._fifo[n:]
+            self._fifo = self._fifo[self.rx.last_consumed:]
             out.extend(res.ts_packets.reshape(-1).tobytes())
             m = self.metrics
             m.pl_sync_best_match = 1.0 - res.viterbi_ber

@@ -75,11 +75,22 @@ def mix(x: jax.Array, freq: jax.Array, phase: jax.Array = 0.0) -> jax.Array:
 
 
 def fir_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
-    """Centered FIR ('same' length). Complex in, real taps."""
-    t = jnp.asarray(taps, jnp.float32)
-    re = jnp.convolve(jnp.real(x), t, mode="same")
-    im = jnp.convolve(jnp.imag(x), t, mode="same")
-    return (re + 1j * im).astype(jnp.complex64)
+    """Centered FIR ('same' length). Complex in, real taps.
+
+    Implemented as static shift-and-add (taps are compile-time constants):
+    single-channel 1-D convolution lowers terribly on TPU, while K shifted
+    multiply-adds over the full block vectorize perfectly on the VPU.
+    """
+    taps = np.asarray(taps, np.float32)
+    K = len(taps)
+    n = x.shape[-1]
+    half = K // 2
+    xp = jnp.pad(x, (half, K - 1 - half))
+    acc = jnp.zeros(n, x.dtype)
+    for j, h in enumerate(taps.tolist()):
+        if h != 0.0:
+            acc = acc + h * xp[j:j + n]
+    return acc.astype(jnp.complex64)
 
 
 def matched_filter(x: jax.Array, ntaps: int = 65, alpha: float = 0.35,
@@ -99,19 +110,37 @@ def _halfband_taps(n: int = 47) -> np.ndarray:
     return (h / h[n // 2] * 0.5).astype(np.float32)
 
 
-def oerder_meyr_tau(y2: jax.Array) -> jax.Array:
-    """Timing phase from a 2 sps block: interpolate to 4 sps, square-law,
-    extract the symbol-rate line.  Returns tau in [-0.5, 0.5) symbols;
-    symbol instants sit at 2 sps positions 2k - 2*tau.
+@functools.lru_cache()
+def _mid_taps(n: int = 24) -> np.ndarray:
+    """Half-sample-offset interpolator: v[m] ~ y(m + 0.5).
+
+    fir_filter applies taps[j] at offset u = j - n//2, so the taps must be
+    sinc(u - 0.5) (interpolation kernel evaluated at 0.5 - u is symmetric).
     """
-    n2 = y2.shape[-1]
-    up = jnp.zeros(2 * n2, jnp.complex64).at[::2].set(y2)
-    up = fir_filter(up, _halfband_taps()) * 2.0
-    e = jnp.abs(up) ** 2
-    n = jnp.arange(2 * n2)
-    # symbol rate = fs4/4 -> tone exp(-j 2pi n/4)
-    s = jnp.sum(e * jnp.exp(-1j * (jnp.pi / 2) * n))
-    # convention: symbol instants sit at 2 sps positions 2k - 2*tau
+    u = np.arange(n) - n // 2
+    t = u - 0.5
+    w = 0.54 + 0.46 * np.cos(np.pi * t / (n / 2))
+    h = np.sinc(t) * np.where(np.abs(t) <= n / 2, w, 0.0)
+    return (h / h.sum()).astype(np.float32)
+
+
+def _oerder_meyr_terms(y2: jax.Array) -> jax.Array:
+    """Per-sample complex contributions to the Oerder-Meyr tone.
+
+    Interpolating to 4 sps and summing |u_n|^2 exp(-j pi n/2) is
+    equivalent to sum_m (-1)^m (|y_m|^2 - j |v_m|^2) with v the
+    half-sample interpolant — one shared FIR pass for the whole block.
+    """
+    v = fir_filter(y2, _mid_taps())
+    m = jnp.arange(y2.shape[-1])
+    sgn = 1.0 - 2.0 * (m % 2).astype(jnp.float32)
+    return sgn * (jnp.abs(y2) ** 2 - 1j * jnp.abs(v) ** 2)
+
+
+def oerder_meyr_tau(y2: jax.Array) -> jax.Array:
+    """Timing phase from a 2 sps block. Returns tau in [-0.5, 0.5)
+    symbols; symbol instants sit at 2 sps positions 2k - 2*tau."""
+    s = jnp.sum(_oerder_meyr_terms(y2))
     return jnp.angle(s) / (2 * jnp.pi)
 
 
@@ -146,6 +175,52 @@ def resample_at(y: jax.Array, t: jax.Array, n_phases: int = 128,
     return jnp.sum(y[idx] * taps, axis=-1).astype(jnp.complex64)
 
 
+_RESAMPLE_SPAN = 8    # max |t(k) - 2k| the gather-free resampler supports
+
+
+def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
+                       n_phases: int = 128, n_taps: int = 8) -> jax.Array:
+    """Gather-free polyphase resampling on a rebased window.
+
+    y: [>= 2*S_out + 6*_RESAMPLE_SPAN] samples; t: [S_out] positions into
+    y with t[k] - 2k in [_RESAMPLE_SPAN, 3*_RESAMPLE_SPAN] (the caller
+    rebases so the drift fits this band).  TPU gathers serialize; the
+    8-tap window is assembled by one-hot selection over contiguous
+    even/odd-phase slices, and the per-symbol filter comes from a one-hot
+    [S, n_phases] matmul against the bank (rides the MXU).
+    """
+    SP = _RESAMPLE_SPAN
+    S = S_out
+    ye = y[0::2]
+    yo = y[1::2]
+    k = jnp.arange(S)
+    i0 = jnp.floor(t).astype(jnp.int32)
+    mu = t - i0
+    ph = jnp.clip(jnp.round(mu * n_phases).astype(jnp.int32), 0, n_phases - 1)
+    # window sample j sits at y-index 2k + (c + j - (n_taps//2 - 1)) with
+    # candidate c = i0 - 2k in [SP-1, 3*SP+1] (clip for safety)
+    c_lo = SP - 1 - (n_taps // 2 - 1)
+    c_hi = 3 * SP + 1 - (n_taps // 2 - 1)
+    base = jnp.clip(i0 - (n_taps // 2 - 1) - 2 * k, c_lo, c_hi)
+    onehot = base[:, None] == jnp.arange(c_lo, c_hi + 1)[None, :]
+    win = []
+    for j in range(n_taps):
+        acc = jnp.zeros(S, y.dtype)
+        for ci, c in enumerate(range(c_lo, c_hi + 1)):
+            idx = c + j
+            src = ye[idx // 2: idx // 2 + S] if idx % 2 == 0 else \
+                yo[idx // 2: idx // 2 + S]
+            acc = acc + jnp.where(onehot[:, ci], src, 0.0)
+        win.append(acc)
+    bank = jnp.asarray(interp_bank(n_phases, n_taps))  # [128, 8]
+    ph1h = (ph[:, None] == jnp.arange(n_phases)[None, :]).astype(jnp.float32)
+    taps = jnp.dot(ph1h, bank, preferred_element_type=jnp.float32)  # [S, 8]
+    out = jnp.zeros(S, y.dtype)
+    for j in range(n_taps):
+        out = out + win[j] * taps[:, j]
+    return out.astype(jnp.complex64)
+
+
 def recover_symbols(y2: jax.Array, n_windows: int = 8,
                     tau_hint: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """Block feed-forward timing recovery at 2 sps.
@@ -168,8 +243,10 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     end (the next block's tau_hint)."""
     n2 = y2.shape[-1]
     win = (n2 // n_windows) & ~1   # even stride: odd sample offsets alias
-    taus = jnp.stack([oerder_meyr_tau(y2[i * win:(i + 1) * win])
-                      for i in range(n_windows)])  # tau by half a symbol
+    terms = _oerder_meyr_terms(y2)  # one shared interpolator pass
+    taus = jnp.stack([
+        jnp.angle(jnp.sum(terms[i * win:(i + 1) * win])) / (2 * jnp.pi)
+        for i in range(n_windows)])
     # unwrap mod 1 symbol
     d = jnp.diff(taus)
     d = d - jnp.round(d)
@@ -190,4 +267,26 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     tau_n = jnp.mean(tau_u) + slope * (n_nom - c0) / scale
     t = jnp.clip(n_nom - 2.0 * tau_n, 0.0, n2 - 1.0)
     tau_end = jnp.mean(tau_u) + slope * (n2 - c0) / scale
-    return resample_at(y2, t), tau_u, tau_end
+    return resample_windowed(y2, t), tau_u, tau_end
+
+
+def resample_windowed(y2: jax.Array, t: jax.Array,
+                      n_windows: int = 64) -> jax.Array:
+    """Symbol-grid resampling with unbounded linear drift: the stream is
+    cut into windows, each rebased by an even dynamic offset so the
+    gather-free selector's span only has to cover the in-window drift."""
+    S = t.shape[-1]
+    assert S % n_windows == 0
+    w = S // n_windows
+    P = 4 * _RESAMPLE_SPAN
+    yp = jnp.pad(y2, (P, P + 2 * _RESAMPLE_SPAN + 16))
+    outs = []
+    for wi in range(n_windows):
+        tw = jax.lax.dynamic_slice(t, (wi * w,), (w,))
+        base = 2 * jnp.round((tw[0] - 0.0) / 2.0).astype(jnp.int32)
+        seg = jax.lax.dynamic_slice(
+            yp, (base + P - 2 * _RESAMPLE_SPAN,),
+            (2 * w + 6 * _RESAMPLE_SPAN,))
+        t_loc = tw - base.astype(tw.dtype) + 2 * _RESAMPLE_SPAN
+        outs.append(resample_half_grid(seg, t_loc, S_out=w))
+    return jnp.concatenate(outs)

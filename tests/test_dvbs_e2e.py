@@ -24,7 +24,7 @@ def _run(rate="1/2", snr_db=12.0, cfo=0.0, phase=0.7, delay=0.4,
         if used + n > len(y):
             break
         res = rx.process_block(y[used:used + n])
-        used += n
+        used += rx.last_consumed   # API contract: advance by consumed
         pkts.append(res.ts_packets)
     got = np.concatenate(pkts) if pkts else np.zeros((0, 188), np.uint8)
     return got, ts.reshape(-1, 188), rx
