@@ -27,7 +27,15 @@ import numpy as np
 
 from ..spec import dvbs_fec, rs_spec, scrambling
 from ..ops import frontend, plphase, viterbi
-from ..io.ts_deframer import TSDeframer
+from ..io.ts_deframer import TSDeframer as _PyTSDeframer
+from ..io import native as _native
+
+
+def TSDeframer():
+    """Native C++ deframer when built (make -C native), python otherwise."""
+    if _native.available():
+        return _native.NativeTSDeframer()
+    return _PyTSDeframer()
 
 BER_THRESHOLD = 0.15
 TEST_BITS = 2048

@@ -41,6 +41,8 @@ class BlockResult:
     coarse_cfo: float             # rad/sample applied to the block
     n_symbols: int                # symbols consumed (frames * L)
     last_frame_end: int = 0       # symbol index just past the last frame
+    constellation: np.ndarray | None = None  # [2048] complex64 scatter
+                                  # (first 90 points = PLHEADER)
 
 
 class DVBS2Receiver:
@@ -127,7 +129,11 @@ class DVBS2Receiver:
 
             llrs = demap.soft_demap(payload, cfg.constellation, cfg.g1, cfg.g2)
             llrs = llrs.reshape(F, -1)[:, deint]
+            # constellation scatter: header (drawn highlighted by UIs, as
+            # the reference does, main.cpp:522-529) + payload sample
+            scat = jnp.concatenate([frames_c[0, :90], payload[0, :1958]])
             return dict(llrs=llrs,
+                        scatter=jnp.stack([jnp.real(scat), jnp.imag(scat)]),
                         quality=quality, freq=freq,
                         cfo=jnp.reshape(cfo, (1,)),
                         pls=pls_idx, pls_conf=pls_conf, starts=starts)
@@ -199,4 +205,6 @@ class DVBS2Receiver:
             n_symbols=int(self.n_frames * cfg.plframe_len),
             last_frame_end=int(np.asarray(out["starts"])[-1]) +
             cfg.plframe_len,
+            constellation=(out["scatter"][0] +
+                           1j * out["scatter"][1]).astype(np.complex64),
         )

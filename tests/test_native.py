@@ -1,0 +1,72 @@
+"""Native C++ components vs the pure-Python references (byte-identical)."""
+import subprocess
+import numpy as np
+import pytest
+
+from dvbs_tpu.io import native
+from dvbs_tpu.io.ts_deframer import TSDeframer as PyDeframer
+from dvbs_tpu.io.bbframe_parser import BBFrameParser
+from dvbs_tpu.spec import modcod, scrambling
+from dvbs_tpu.tx import dvbs2_mod
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    subprocess.run(["make", "-C", "native"], check=True,
+                   capture_output=True)
+    assert native.available()
+
+
+def _frame_bits(seed, n_frames=6, flip=None, invert=False):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n_frames, 1632)).astype(np.uint8)
+    frames[:, ::204] = 0x47
+    frames[:, 0] = 0xB8
+    stream = np.concatenate([rng.integers(0, 2, 777).astype(np.uint8),
+                             np.unpackbits(frames.reshape(-1))])
+    if invert:
+        stream = 1 - stream
+    if flip is not None:
+        stream[flip] ^= 1
+    return frames, stream
+
+
+@pytest.mark.parametrize("invert", [False, True])
+def test_deframer_native_matches_python(invert):
+    frames, bits = _frame_bits(0, invert=invert)
+    py, nat = PyDeframer(), native.NativeTSDeframer()
+    # feed in uneven chunks to exercise state carry
+    outs_p, outs_n = [], []
+    for i in range(0, len(bits), 40000):
+        outs_p.append(py.feed(bits[i:i + 40000]))
+        outs_n.append(nat.feed(bits[i:i + 40000]))
+    p = np.concatenate(outs_p)
+    n = np.concatenate(outs_n)
+    np.testing.assert_array_equal(p, n)
+    assert len(p) >= len(frames) - 1
+    assert nat.locked and nat.inverted == invert
+    assert nat.frames_ok == py.frames_ok
+
+
+def test_tsparser_native_matches_python():
+    cfg = modcod.get_config(4, short=True)
+    pkts = dvbs2_mod.random_ts_packets(120, seed=3)
+    bb = scrambling.bb_scramble_bytes(dvbs2_mod.ts_to_bbframes(pkts, cfg))
+    py = BBFrameParser(cfg.kbch)
+    nat = native.NativeTSParser(cfg.kbch)
+    out_p = b"".join(py.feed(bb[i:i + 1]) for i in range(len(bb)))
+    out_n = b"".join(nat.feed(bb[i:i + 1]) for i in range(len(bb)))
+    assert out_p == out_n
+    assert len(out_p) > 0
+    assert nat.last_bb_proc == py.last_bb_proc
+
+
+def test_tsparser_native_resync_on_bad_frame():
+    cfg = modcod.get_config(4, short=True)
+    pkts = dvbs2_mod.random_ts_packets(200, seed=4)
+    bb = scrambling.bb_scramble_bytes(dvbs2_mod.ts_to_bbframes(pkts, cfg))
+    bad = bb.copy()
+    bad[2, 40] ^= 0xFF
+    py = BBFrameParser(cfg.kbch)
+    nat = native.NativeTSParser(cfg.kbch)
+    assert py.feed(bad) == nat.feed(bad)
