@@ -97,15 +97,28 @@ class DVBS2Stream:
             m.detected_pilots = bool(pls & 1)
 
     def _maybe_switch_modcod(self, res):
-        """50-frame consistency vote (main.cpp:383-408)."""
-        for pls in res.detected_pls:
-            self._vote.append(int(pls))
+        """50-frame consistency vote (main.cpp:383-408).
+
+        Only confident detections vote: while misconfigured (wrong frame
+        length), the locator lands off-SOF on some frames and their PLS
+        reads are noise — the soft-correlation confidence separates them.
+        """
+        conf = res.detected_pls_conf if res.detected_pls_conf is not None \
+            else np.ones(len(res.detected_pls))
+        for pls, c in zip(res.detected_pls, conf):
+            if c >= 0.7:
+                self._vote.append(int(pls))
         if not self.auto_modcod or len(self._vote) < 50:
             return
-        first = self._vote[0]
-        if all(v == first for v in self._vote) and \
-                first != self.cfg.pls_code and (first >> 2) in range(1, 29):
-            mc, short, pilots = (first >> 2), bool(first & 2), bool(first & 1)
+        # 90% supermajority (the reference requires strict unanimity over
+        # every frame, main.cpp:383-395, but its per-frame re-correlation
+        # never sees misaligned frames; our block locator does while the
+        # configured frame length is wrong, so near-miss codewords occur)
+        vals, counts = np.unique(np.array(self._vote), return_counts=True)
+        top = int(vals[counts.argmax()])
+        if counts.max() >= 45 and top != self.cfg.pls_code and \
+                (top >> 2) in range(1, 29):
+            mc, short, pilots = (top >> 2), bool(top & 2), bool(top & 1)
             try:
                 self._configure(mc, short, pilots)
                 self._vote.clear()

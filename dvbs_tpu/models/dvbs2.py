@@ -43,6 +43,7 @@ class BlockResult:
     last_frame_end: int = 0       # symbol index just past the last frame
     constellation: np.ndarray | None = None  # [2048] complex64 scatter
                                   # (first 90 points = PLHEADER)
+    detected_pls_conf: np.ndarray | None = None  # [F] float32 confidence
 
 
 class DVBS2Receiver:
@@ -207,4 +208,5 @@ class DVBS2Receiver:
             cfg.plframe_len,
             constellation=(out["scatter"][0] +
                            1j * out["scatter"][1]).astype(np.complex64),
+            detected_pls_conf=np.asarray(out["pls_conf"]),
         )

@@ -146,7 +146,9 @@ def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
                 post = post.at[G + r - 1].add(delta[D - 1])
         return (post, tuple(msgs)), 0
 
-    msgs0 = tuple(jnp.zeros((len(layers[r]) + 2, LANES, B), jnp.bfloat16)
+    # data-tied zeros: keeps scan carry sharding consistent under shard_map
+    zb = (0.0 * llr[0, 0]).astype(jnp.bfloat16)
+    msgs0 = tuple(jnp.zeros((len(layers[r]) + 2, LANES, B), jnp.bfloat16) + zb
                   for r in range(q))
     (post, msgs), _ = jax.lax.scan(sweep, (post, msgs0), None,
                                    length=n_iters)
