@@ -33,6 +33,9 @@ class Metrics:
     bbframes_processed: int = 0
     bbframes_total: int = 0
     coarse_cfo: float = 0.0
+    last_header: object = None    # bbheader.BBHeader of the latest BBFRAME
+                                  # (MPEGTS/GSE, SIS/MIS, CCM/ACM, ISSY,
+                                  # NPD, rolloff — main.cpp:495-500)
 
 
 class DVBS2Stream:
@@ -89,12 +92,32 @@ class DVBS2Stream:
         m.frames_ok += int(res.frame_ok.sum())
         m.bbframes_total = self.parser.last_bb_cnt
         m.bbframes_processed = self.parser.last_bb_proc
+        m.last_header = self.parser.last_header
         m.coarse_cfo = res.coarse_cfo
         if len(res.detected_pls):
             pls = int(np.bincount(res.detected_pls).argmax())
             m.detected_modcod = (pls >> 2) & 0x1F
             m.detected_shortframes = bool((pls >> 1) & 1)
             m.detected_pilots = bool(pls & 1)
+
+    # -- loop-state checkpointing (SURVEY.md sec. 5: all mutable DSP state
+    # is a small pytree; config + this dict give seamless restart) --------
+    def get_state(self) -> dict:
+        return dict(pls_code=self.cfg.pls_code,
+                    vote=list(self._vote),
+                    fifo=self._fifo.copy(),
+                    parser_count=self.parser.count,
+                    parser_partial=self.parser.partial.copy(),
+                    parser_synched=self.parser.synched)
+
+    def set_state(self, st: dict):
+        cfg = modcod.from_pls_code(st["pls_code"])
+        self._configure(cfg.modcod, cfg.framesize == "short", cfg.pilots)
+        self._vote = collections.deque(st["vote"], maxlen=50)
+        self._fifo = st["fifo"].copy()
+        self.parser.count = st["parser_count"]
+        self.parser.partial = st["parser_partial"].copy()
+        self.parser.synched = st["parser_synched"]
 
     def _maybe_switch_modcod(self, res):
         """50-frame consistency vote (main.cpp:383-408).

@@ -27,6 +27,13 @@ def _polar(r, n, i):
 
 def _internal_table(kind: str, g1: float | None, g2: float | None) -> np.ndarray:
     """Reference-convention (internal index) constellation, unit power."""
+    if kind == "bpsk":
+        # constellation.cpp:22-28 (pi/2-BPSK handled at the PL layer)
+        return np.array([-1.0 + 0j, 1.0 + 0j])
+    if kind == "oqpsk":
+        # same points as QPSK; the half-symbol Q offset is a timing
+        # property, not a constellation one (constellation.cpp:29)
+        kind = QPSK
     if kind == QPSK:
         pts = np.empty(4, np.complex128)
         pts[0] = -_SQ2 - 1j * _SQ2
@@ -81,7 +88,7 @@ def points(kind: str, g1: float | None = None, g2: float | None = None) -> np.nd
     """Constellation points indexed by standard symbol value
     (y0<<(m-1) | ... | y_{m-1}).  [2^m] complex64, unit average power."""
     internal = _internal_table(kind, g1, g2)
-    m = MOD_BITS[kind]
+    m = MOD_BITS.get(kind, 1 if kind == "bpsk" else 2)
     out = np.empty(1 << m, np.complex128)
     for std in range(1 << m):
         internal_idx = 0
