@@ -57,9 +57,12 @@ def main():
     assert out["ldpc_ok"].all(), "bench signal must decode cleanly"
 
     reps = 10
+    # software-pipelined streaming: upload block i+1 while block i computes
+    dev_next = jax.device_put(jnp.asarray(samples))
     t0 = time.time()
     for _ in range(reps):
-        out = step(samples)
+        out = step(dev_next)
+        dev_next = jax.device_put(jnp.asarray(samples))
         out_h = jax.device_get(out["ldpc_ok"])
     dt = (time.time() - t0) / reps
 
