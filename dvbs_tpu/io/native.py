@@ -58,7 +58,7 @@ class NativeTSDeframer:
         self._h = _lib.deframer_create(max_resync_errors)
 
     def __del__(self):
-        if getattr(self, "_h", None):
+        if getattr(self, "_h", None) and _lib is not None:
             _lib.deframer_destroy(self._h)
             self._h = None
 
@@ -97,7 +97,7 @@ class NativeTSParser:
         self._h = _lib.tsparser_create(kbch)
 
     def __del__(self):
-        if getattr(self, "_h", None):
+        if getattr(self, "_h", None) and _lib is not None:
             _lib.tsparser_destroy(self._h)
             self._h = None
 

@@ -78,10 +78,16 @@ def from_qc_layout(post: np.ndarray, table: str) -> np.ndarray:
     return flat[t["perm"]].T
 
 
-@functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta"))
+@functools.partial(jax.jit,
+                   static_argnames=("table", "n_iters", "beta", "check_every"))
 def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
-              beta: float = 2.0):
+              beta: float = 2.0, check_every: int = 4):
     """QC layered offset-min-sum decode in pure XLA (rolls, no gathers).
+
+    Runs in chunks of `check_every` layered sweeps with a syndrome test
+    between chunks; exits as soon as every lane's checks clear (the
+    batched analogue of the reference decoder's bad()-gated trial loop,
+    layered_decoder.hh:121-133).
 
     llr: [B, N] float32, positive = bit 0.
     Returns (hard [B, N] uint8, n_bad_checks [B] int32).
@@ -146,26 +152,37 @@ def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
                 post = post.at[G + r - 1].add(delta[D - 1])
         return (post, tuple(msgs)), 0
 
+    def syndrome_bad(post):
+        bad = jnp.zeros(B, jnp.int32) + (0 * post[0, 0, :]).astype(jnp.int32)
+        for r in range(q):
+            acc = jnp.zeros((LANES, B), jnp.int32)
+            for (g, s) in layers[r]:
+                acc += (roll(post[g], s) < 0).astype(jnp.int32)
+            acc += (post[G + r] < 0).astype(jnp.int32)
+            prev = roll(post[G + q - 1], 1) if r == 0 else post[G + r - 1]
+            prevneg = (prev < 0).astype(jnp.int32)
+            if r == 0:
+                prevneg = jnp.where(col0, 0, prevneg)
+            acc += prevneg
+            bad += jnp.sum(acc % 2, axis=0)
+        return bad
+
     # data-tied zeros: keeps scan carry sharding consistent under shard_map
     zb = (0.0 * llr[0, 0]).astype(jnp.bfloat16)
     msgs0 = tuple(jnp.zeros((len(layers[r]) + 2, LANES, B), jnp.bfloat16) + zb
                   for r in range(q))
+
+    # NOTE: fixed iteration count on purpose. Wrapping the sweep scan in a
+    # lax.while_loop for syndrome-gated early exit costs 100x — the outer
+    # while breaks XLA's all-VMEM schedule for the loop state (same effect
+    # as embedding the decoder in a larger program; see CLAUDE.md). At
+    # ~60us/sweep the fixed schedule is already negligible in the block
+    # budget; callers wanting early exit should decode in two passes
+    # (short first, rerun unconverged lanes longer).
+    del check_every
     (post, msgs), _ = jax.lax.scan(sweep, (post, msgs0), None,
                                    length=n_iters)
-
-    # syndrome count per lane
-    bad = jnp.zeros(B, jnp.int32)
-    for r in range(q):
-        acc = jnp.zeros((LANES, B), jnp.int32)
-        for (g, s) in layers[r]:
-            acc += (roll(post[g], s) < 0).astype(jnp.int32)
-        acc += (post[G + r] < 0).astype(jnp.int32)
-        prev = roll(post[G + q - 1], 1) if r == 0 else post[G + r - 1]
-        prevneg = (prev < 0).astype(jnp.int32)
-        if r == 0:
-            prevneg = jnp.where(col0, 0, prevneg)
-        acc += prevneg
-        bad += jnp.sum(acc % 2, axis=0)
+    bad = syndrome_bad(post)
 
     hard_flat = (post.reshape(-1, B) < 0).astype(jnp.uint8)
     hard = hard_flat[perm].T
