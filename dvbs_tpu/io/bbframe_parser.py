@@ -81,10 +81,22 @@ class BBFrameParser:
             df = frame[10:10 + hdr.dfl // 8]
             self.last_header = hdr
             bbproc += 1
+            # SYNCD resync happens before the mode dispatch, exactly as the
+            # reference does (bbframe_ts_parser.cpp:158-169): the first
+            # frame after sync loss is entered at syncd/8 + 1 bytes into
+            # the data field (the +1 skips the CRC-8 byte that replaces the
+            # TS sync byte; the reference applies it to GSE frames too).
+            pos = 0
+            if not self.synched:
+                pos = hdr.syncd // 8 + 1
+                if pos > len(df):
+                    continue
+                self.count = 0
+                self.synched = True
             if hdr.ts_gs == bbheader.TS_GS_TRANSPORT:
-                self._feed_ts(df, hdr, out)
+                self._feed_ts(df, hdr, out, pos)
             elif hdr.ts_gs == bbheader.TS_GS_GENERIC_CONTINUOUS:
-                self._feed_gse(df, hdr, out)
+                self._feed_gse(df, hdr, out, pos)
             # 0b00 (generic packetized) / 0b10 (reserved): ignored, as the
             # reference does (bbframe_ts_parser.cpp:209-211)
         self.last_bb_cnt = len(frames)
@@ -92,15 +104,8 @@ class BBFrameParser:
         return bytes(out)
 
     # -- TS mode -------------------------------------------------------
-    def _feed_ts(self, df: np.ndarray, hdr: bbheader.BBHeader, out: bytearray):
-        pos = 0
-        if not self.synched:
-            skip = hdr.syncd // 8 + 1
-            if skip > len(df):
-                return
-            pos = skip
-            self.count = 0
-            self.synched = True
+    def _feed_ts(self, df: np.ndarray, hdr: bbheader.BBHeader,
+                 out: bytearray, pos: int = 0):
         remaining = len(df) - pos
         if self.count > 0:
             take = min(TS_SIZE - self.count, remaining)
@@ -122,10 +127,10 @@ class BBFrameParser:
             self.count = tail
 
     # -- GSE mode ------------------------------------------------------
-    def _feed_gse(self, df: np.ndarray, hdr: bbheader.BBHeader, out: bytearray):
+    def _feed_gse(self, df: np.ndarray, hdr: bbheader.BBHeader,
+                  out: bytearray, p: int = 0):
         if hdr.issyi or hdr.npd or hdr.upl != 0:
             return
-        p = 0
         dfl_bytes = hdr.dfl // 8
         while p < dfl_bytes - 1:
             h1, h2 = int(df[p]), int(df[p + 1])

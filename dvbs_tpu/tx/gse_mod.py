@@ -53,10 +53,17 @@ def gse_to_bbframes(packets: list[bytes], kbch: int) -> np.ndarray:
     zero GSE header as the reference expects). Returns scrambled frames
     [n, kbch/8] uint8."""
     df_bytes = (kbch - 80) // 8
+    # the last 2 data-field bytes are always left as padding so the SYNCD
+    # resync target below is guaranteed to be a zero byte
+    fill_limit = df_bytes - 2
     frames = []
     cur = bytearray()
     for p in packets:
-        if len(cur) + len(p) > df_bytes:
+        if len(p) > fill_limit:
+            raise ValueError(f"GSE packet of {len(p)} bytes exceeds the "
+                             f"{fill_limit}-byte usable data field; "
+                             f"fragment it")
+        if len(cur) + len(p) > fill_limit:
             cur.extend(b"\x00" * (df_bytes - len(cur)))
             frames.append(bytes(cur))
             cur = bytearray()
@@ -65,9 +72,16 @@ def gse_to_bbframes(packets: list[bytes], kbch: int) -> np.ndarray:
         cur.extend(b"\x00" * (df_bytes - len(cur)))
         frames.append(bytes(cur))
     out = np.zeros((len(frames), kbch // 8), np.uint8)
+    # SYNCD points at the tail padding rather than the first packet: the
+    # reference resync always enters a frame at syncd/8 + 1 bytes into the
+    # data field (bbframe_ts_parser.cpp:158-169), so data-field byte 0 is
+    # unreachable after sync loss. Aiming SYNCD at the padding makes the
+    # resync frame parse as empty (on both parsers) and every later frame
+    # parse losslessly from byte 0.
+    syncd = kbch - 80 - 16
     for i, df in enumerate(frames):
         hdr = bbheader.BBHeader(ts_gs=bbheader.TS_GS_GENERIC_CONTINUOUS,
-                                upl=0, dfl=kbch - 80, sync=0, syncd=0)
+                                upl=0, dfl=kbch - 80, sync=0, syncd=syncd)
         out[i, :10] = hdr.pack()
         out[i, 10:] = np.frombuffer(df, np.uint8)
     return scrambling.bb_scramble_bytes(out)

@@ -71,6 +71,7 @@ def test_gse_unfragmented_roundtrip():
     frames = scrambling.bb_scramble_bytes(
         gse_mod.gse_to_bbframes(pkts, cfg.kbch))
     parser = BBFrameParser(cfg.kbch)
+    parser.synched = True   # steady state: resync-frame loss tested in interop
     out = parser.feed(frames)
     # parse GRE stream back
     buf = memoryview(out)
@@ -102,6 +103,7 @@ def test_gse_fragmented_roundtrip():
     frames = scrambling.bb_scramble_bytes(
         gse_mod.gse_to_bbframes(pkts, cfg.kbch))
     parser = BBFrameParser(cfg.kbch)
+    parser.synched = True   # steady state: resync-frame loss tested in interop
     out = parser.feed(frames)
     assert not parser.last_gse_crc_err
     assert out[:2] == b"\x00\x00"
@@ -120,6 +122,7 @@ def test_gse_crc_error_detected():
     frames = scrambling.bb_scramble_bytes(
         gse_mod.gse_to_bbframes(pkts, cfg.kbch))
     parser = BBFrameParser(cfg.kbch)
+    parser.synched = True   # steady state: resync-frame loss tested in interop
     out = parser.feed(frames)
     assert parser.last_gse_crc_err
     assert out == b""
