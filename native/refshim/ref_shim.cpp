@@ -25,6 +25,7 @@
 //   dvbs_ts_deframer.cpp       TS super-frame deframer
 //   bbframe_ts_parser.cpp      BBFrame TS/GSE->GRE parser
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -281,6 +282,120 @@ void ref_tsparser_header(void *h, int *fields) {
     fields[11] = p->last_bb_cnt;
     fields[12] = p->last_bb_proc;
     fields[13] = p->last_ts_errs;
+}
+
+// ------------------------------------------------ benchmark handles
+// Persistent decoder instances with the timing loop in C++, so that
+// per-call construction (link-table build) and ctypes overhead do not
+// penalize the reference when measuring BASELINE.md numbers.
+
+struct LdpcBench {
+    BBFrameLDPC *wrap;
+    LDPCDecoder<simd_type, algorithm_type> dec;
+    std::vector<simd_type> buf;
+    int N, K, W;
+};
+
+void *ref_ldpc_bench_create(int shortf, int rate) {
+    LdpcBench *h = new LdpcBench;
+    h->wrap = new BBFrameLDPC(fsz(shortf), (dvbs2_code_rate_t)rate);
+    LDPCInterface *l = h->wrap->get_instance();
+    h->N = l->code_len();
+    h->K = l->data_len();
+    h->W = (int)(sizeof(simd_type) / sizeof(code_type));
+    h->dec.init(l);
+    h->buf.resize(h->N);
+    return h;
+}
+
+void ref_ldpc_bench_destroy(void *p) {
+    LdpcBench *h = (LdpcBench *)p;
+    delete h->wrap;
+    delete h;
+}
+
+// Decode the same [W][N] int8 LLR batch `reps` times with `blocks` lanes
+// gated by the syndrome check (blocks=1 reproduces the shipped plugin,
+// bbframe_ldpc.cpp:131; blocks=W is the fair all-lanes best case).
+// Lane pack/unpack is included, as in BBFrameLDPC::decode. Returns the
+// summed trials-used (negative contributions clamped to max_trials) and
+// writes wall seconds to *elapsed_s.
+long ref_ldpc_bench_run(void *p, int8_t *llrs, int max_trials, int blocks,
+                        int reps, double *elapsed_s) {
+    LdpcBench *h = (LdpcBench *)p;
+    long total = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r) {
+        for (int i = 0; i < h->N; ++i)
+            for (int w = 0; w < h->W; ++w)
+                reinterpret_cast<code_type *>(&h->buf[i])[w] =
+                    llrs[w * h->N + i];
+        int trials = h->dec(h->buf.data(), h->buf.data() + h->K,
+                            max_trials, blocks);
+        total += (trials < 0) ? max_trials : (max_trials - trials);
+        volatile int8_t sink = 0;
+        for (int i = 0; i < h->N; ++i)
+            sink ^= reinterpret_cast<code_type *>(&h->buf[i])[0];
+        (void)sink;
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    *elapsed_s = std::chrono::duration<double>(t1 - t0).count();
+    return total;
+}
+
+// BCH decode timing: corrupt `nerr` bits of the given codeword each rep
+// (same positions), decode, accumulate corrections.
+long ref_bch_bench_run(int shortf, int rate, uint8_t *frame_bytes,
+                       int nbytes, int nerr, int reps, double *elapsed_s) {
+    BBFrameBCH b(fsz(shortf), (dvbs2_code_rate_t)rate);
+    std::vector<uint8_t> work(nbytes);
+    long total = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r) {
+        memcpy(work.data(), frame_bytes, nbytes);
+        for (int e = 0; e < nerr; ++e) {
+            int bit = (e * 2654435761u) % (nbytes * 8);
+            work[bit / 8] ^= (uint8_t)(0x80 >> (bit % 8));
+        }
+        total += b.decode(work.data());
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    *elapsed_s = std::chrono::duration<double>(t1 - t0).count();
+    return total;
+}
+
+// Viterbi steady-state timing: repeatedly run a SYNCED decoder over the
+// same soft buffer (caller must have driven it to SYNCED first).
+long ref_viterbi_bench_run(void *h, int8_t *soft, int size, uint8_t *out,
+                           int reps, double *elapsed_s) {
+    Viterbi_DVBS *v = (Viterbi_DVBS *)h;
+    long produced = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r)
+        produced += v->work(soft, size, out);
+    auto t1 = std::chrono::steady_clock::now();
+    *elapsed_s = std::chrono::duration<double>(t1 - t0).count();
+    return produced;
+}
+
+// RS(204,188) timing over a frame of 8 packets with nerr byte errors each.
+long ref_rs_bench_run(uint8_t *frames1632, int nerr, int reps,
+                      double *elapsed_s) {
+    static dsp::dvbs::DVBSReedSolomon rs;
+    std::vector<uint8_t> work(1632);
+    long total = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r) {
+        memcpy(work.data(), frames1632, 1632);
+        for (int p = 0; p < 8; ++p)
+            for (int e = 0; e < nerr; ++e)
+                work[p * 204 + (e * 97) % 204] ^= 0x55;
+        for (int p = 0; p < 8; ++p)
+            total += rs.decode(&work[p * 204]);
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    *elapsed_s = std::chrono::duration<double>(t1 - t0).count();
+    return total;
 }
 
 }  // extern "C"

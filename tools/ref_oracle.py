@@ -68,6 +68,22 @@ def lib() -> ctypes.CDLL:
     L.ref_modcod_cfg.argtypes = [ctypes.c_int] * 3 + \
         [ctypes.POINTER(ctypes.c_int)] * 4 + \
         [ctypes.POINTER(ctypes.c_float)] * 2
+    dp = ctypes.POINTER(ctypes.c_double)
+    L.ref_ldpc_bench_create.restype = ctypes.c_void_p
+    L.ref_ldpc_bench_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    L.ref_ldpc_bench_destroy.argtypes = [ctypes.c_void_p]
+    L.ref_ldpc_bench_run.restype = ctypes.c_long
+    L.ref_ldpc_bench_run.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, dp]
+    L.ref_bch_bench_run.restype = ctypes.c_long
+    L.ref_bch_bench_run.argtypes = [ctypes.c_int, ctypes.c_int, u8p,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, dp]
+    L.ref_viterbi_bench_run.restype = ctypes.c_long
+    L.ref_viterbi_bench_run.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int,
+                                        u8p, ctypes.c_int, dp]
+    L.ref_rs_bench_run.restype = ctypes.c_long
+    L.ref_rs_bench_run.argtypes = [u8p, ctypes.c_int, ctypes.c_int, dp]
     return L
 
 
@@ -367,3 +383,57 @@ class BBFrameTSParser:
             lib().ref_tsparser_destroy(self._h)
         except Exception:
             pass
+
+
+# ----------------------------------------------- benchmark bridges
+def ldpc_bench(llrs: np.ndarray, shortf: bool, rate: str, *,
+               max_trials: int = 16, blocks: int | None = None,
+               reps: int = 1) -> tuple[float, float]:
+    """Time `reps` decodes of the [W, N] int8 LLR batch with one persistent
+    decoder (C++ loop, std::chrono). Returns (seconds_per_call,
+    mean_trials_used_per_call)."""
+    W = ldpc_simd_width()
+    assert llrs.shape[0] == W
+    if blocks is None:
+        blocks = W
+    h = lib().ref_ldpc_bench_create(int(shortf), RATES[rate])
+    try:
+        buf = np.ascontiguousarray(llrs, np.int8)
+        el = ctypes.c_double()
+        total = lib().ref_ldpc_bench_run(h, _i8(buf), max_trials, blocks,
+                                         reps, ctypes.byref(el))
+    finally:
+        lib().ref_ldpc_bench_destroy(h)
+    return el.value / reps, total / reps
+
+
+def bch_bench(code_bits: np.ndarray, shortf: bool, rate: str, *,
+              nerr: int = 0, reps: int = 1) -> float:
+    """Seconds per BCH decode of the packed codeword with nerr bit flips."""
+    frame = np.ascontiguousarray(np.packbits(code_bits.astype(np.uint8)))
+    el = ctypes.c_double()
+    lib().ref_bch_bench_run(int(shortf), RATES[rate], _u8(frame),
+                            len(frame), nerr, reps, ctypes.byref(el))
+    return el.value / reps
+
+
+def viterbi_bench(vit: "ViterbiDVBS", soft: np.ndarray,
+                  reps: int = 1) -> tuple[float, float]:
+    """Time reps runs of a (pre-SYNCED) Viterbi_DVBS over the soft buffer.
+    Returns (seconds_per_call, bytes_out_per_call)."""
+    buf = np.ascontiguousarray(soft, np.int8)
+    out = np.zeros(len(buf), np.uint8)
+    el = ctypes.c_double()
+    produced = lib().ref_viterbi_bench_run(vit._h, _i8(buf), len(buf),
+                                           _u8(out), reps, ctypes.byref(el))
+    return el.value / reps, produced / reps
+
+
+def rs_bench(frame1632: np.ndarray, *, nerr: int = 0,
+             reps: int = 1) -> float:
+    """Seconds per 8-packet RS(204,188) frame decode with nerr byte errors
+    per packet."""
+    buf = np.ascontiguousarray(frame1632, np.uint8)
+    el = ctypes.c_double()
+    lib().ref_rs_bench_run(_u8(buf), nerr, reps, ctypes.byref(el))
+    return el.value / reps
