@@ -73,11 +73,20 @@ def main(argv=None):
         total_out += len(data)
         emit(data)
         m = stream.metrics
-        print(f"[{i + chunk:>10}/{len(samples)}] out={total_out}B "
-              f"sync={m.pl_sync_best_match:.2f} "
-              f"ldpc_trials={m.ldpc_trials} bch_q={m.bch_quality:.1f} "
-              f"modcod={m.detected_modcod} "
-              f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
+        if args.mode == "s":
+            # DVB-S metric set (module_dvbs_demod.cpp:101-115)
+            print(f"[{i + chunk:>10}/{len(samples)}] out={total_out}B "
+                  f"vit_sig={m.viterbi_sig_level:.1f} "
+                  f"vit_rate={m.viterbi_rate} lock={int(m.viterbi_lock)} "
+                  f"rs_avg={m.rs_avg_errors:.2f} "
+                  f"defra_err={m.deframer_errors} "
+                  f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
+        else:
+            print(f"[{i + chunk:>10}/{len(samples)}] out={total_out}B "
+                  f"sync={m.pl_sync_best_match:.2f} "
+                  f"ldpc_trials={m.ldpc_trials} bch_q={m.bch_quality:.1f} "
+                  f"modcod={m.detected_modcod} "
+                  f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
     if out_sink:
         out_sink.close()
     print(f"done: {total_out} bytes", file=sys.stderr)

@@ -271,11 +271,15 @@ class DVBSStream:
         self._reset_metrics()
 
     def _reset_metrics(self):
+        # the DVB-S metric set under its own names (SURVEY.md sec. 3.5 /
+        # module_dvbs_demod.cpp:101-115, GUI main.cpp:340-351)
         m = self.metrics
-        m.pl_sync_best_match = 0.0
-        m.ldpc_trials = 0
-        m.bch_quality = 0.0
-        m.detected_modcod = 0
+        m.viterbi_ber = 1.0
+        m.viterbi_sig_level = 0.0      # 100 - avg BER * (100/0.3)
+        m.viterbi_lock = False
+        m.viterbi_rate = None          # "1/2".."7/8" once locked
+        m.rs_avg_errors = 0.0
+        m.deframer_errors = 0
         m.frames_ok = 0
         m.frames_seen = 0
 
@@ -289,8 +293,13 @@ class DVBSStream:
             self._fifo = self._fifo[self.rx.last_consumed:]
             out.extend(res.ts_packets.reshape(-1).tobytes())
             m = self.metrics
-            m.pl_sync_best_match = 1.0 - res.viterbi_ber
+            m.viterbi_ber = float(res.viterbi_ber)
+            m.viterbi_sig_level = max(
+                0.0, 100.0 - res.viterbi_ber * (100.0 / 0.3))
+            m.viterbi_lock = bool(res.viterbi_lock)
+            m.viterbi_rate = res.detected_rate
+            m.rs_avg_errors = float(res.rs_avg_errors)
+            m.deframer_errors = int(res.deframer_errors)
             m.frames_seen += 1
             m.frames_ok += int(res.viterbi_lock)
-            m.bch_quality = 100.0 - res.rs_avg_errors * 10
         return bytes(out)

@@ -55,11 +55,12 @@ class DVBS2Receiver:
     def __init__(self, mc: int = 4, short: bool = True, pilots: bool = False,
                  block_symbols: int = 1 << 15, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6, g1: float | None = None,
-                 g2: float | None = None):
+                 g2: float | None = None, equalize: bool = False):
         self.cfg = modcod.get_config(mc, short=short, pilots=pilots)
         self.block_symbols = block_symbols
         self.max_ldpc_trials = max_ldpc_trials
         self.sof_threshold = sof_threshold
+        self.equalize = equalize
         L = self.cfg.plframe_len
         self.edge_margin = 256
         self.n_frames = (block_symbols - 2 * self.edge_margin - 90) // L - 1
@@ -93,6 +94,13 @@ class DVBS2Receiver:
             x = frontend.mix(x, cfo)
             y = frontend.matched_filter(x)
             z, _ = frontend.recover_symbols(y, n_windows=16)
+            if self.equalize:
+                # optional LMS equalizer at the reference's insertion point
+                # (after timing recovery, before PL sync — the reference
+                # instantiates it there but ships it disabled,
+                # module_dvbs2_demod.cpp:50,84,242)
+                from ..ops import equalizer
+                z = equalizer.lms_equalize(z)
 
             score, _ = plsync.correlate(z)
             starts, quality = plsync.locate_frames(score, L, F,
@@ -144,11 +152,9 @@ class DVBS2Receiver:
         # chaining jit calls keeps the data on device with no host hop.
         @jax.jit
         def fec(llrs):
-            hard, n_bad = ldpc_qc.decode_qc(
+            hard, n_bad, trials = ldpc_qc.decode_qc(
                 llrs, cfg.ldpc_table, n_iters=self.max_ldpc_trials)
             ok = n_bad == 0
-            trials = jnp.where(ok, self.max_ldpc_trials // 2,
-                               self.max_ldpc_trials).astype(jnp.int32)
             bch_bad = bch.syndrome_nonzero(hard[:, :cfg.nbch],
                                            cfg.framesize, cfg.rate)
             return dict(hard=hard, trials=trials, ldpc_ok=ok,
@@ -174,10 +180,16 @@ class DVBS2Receiver:
         F = hard.shape[0]
 
         bch_bad = np.asarray(out["bch_bad"])
+        # frame acceptance gate at the PL-sync correlation quality, like the
+        # reference (SOF_THRES 0.6, dvbs2_pl_sync.cpp:133-149): sub-threshold
+        # frames are noise — reject before spending host BCH work on them
+        sync_ok = np.asarray(out["quality"]) >= self.sof_threshold
         bbframes = []
         bch_corr = np.full(F, -1, np.int32)
         frame_ok = np.zeros(F, bool)
         for f in range(F):
+            if not sync_ok[f]:
+                continue
             if not bch_bad[f]:
                 # clean per the on-device GF(2) syndrome matmul: no host work
                 bits, ncorr = hard[f, :cfg.nbch], 0

@@ -4,7 +4,8 @@ Parity component for the reference's equalizer::LMS
 (/root/reference/src/demod/common/dsp/demod/lms.{h,cpp}: 65-tap complex
 decision-directed LMS with a QPSK slicer) — which the reference
 instantiates but leaves disabled (module_dvbs2_demod.cpp:50,84,242).
-Here it is enabled on demand via DVBS2Receiver(equalize=True)-style use.
+Here it is enabled on demand via DVBS2Receiver(equalize=True), which
+inserts it after timing recovery, before PL sync (models/dvbs2.py).
 
 TPU formulation: instead of the per-sample stochastic update, the block
 is split into chunks; each chunk solves a small regularized

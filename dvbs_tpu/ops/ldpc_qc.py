@@ -1,4 +1,4 @@
-"""Quasi-cyclic layered LDPC decoder (Pallas TPU kernel).
+"""Quasi-cyclic layered LDPC decoder (pure-XLA, roll-based; VMEM-resident).
 
 The DVB-S2 IRA codes are quasi-cyclic under the m-major reordering: with
 q = (N-K)/360, parity address a = r + q*c maps to layer r and column c,
@@ -79,18 +79,22 @@ def from_qc_layout(post: np.ndarray, table: str) -> np.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("table", "n_iters", "beta", "check_every"))
+                   static_argnames=("table", "n_iters", "beta",
+                                    "track_trials"))
 def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
-              beta: float = 2.0, check_every: int = 4):
+              beta: float = 2.0, track_trials: bool = True):
     """QC layered offset-min-sum decode in pure XLA (rolls, no gathers).
 
-    Runs in chunks of `check_every` layered sweeps with a syndrome test
-    between chunks; exits as soon as every lane's checks clear (the
-    batched analogue of the reference decoder's bad()-gated trial loop,
-    layered_decoder.hh:121-133).
+    Runs a fixed number of layered sweeps (early exit would break the
+    all-VMEM schedule, see note below); with track_trials the syndrome is
+    evaluated after every sweep and the per-frame sweep count at which the
+    checks first cleared is reported — the same per-frame trial count the
+    reference's bad()-gated loop reports (layered_decoder.hh:121-133,
+    GUI ldpc_trials main.cpp:466).
 
     llr: [B, N] float32, positive = bit 0.
-    Returns (hard [B, N] uint8, n_bad_checks [B] int32).
+    Returns (hard [B, N] uint8, n_bad_checks [B] int32,
+             trials [B] int32 — sweeps to convergence, n_iters if never).
     """
     t = qc_tables(table)
     G, q = t["G"], t["q"]
@@ -179,19 +183,33 @@ def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
     # ~60us/sweep the fixed schedule is already negligible in the block
     # budget; callers wanting early exit should decode in two passes
     # (short first, rerun unconverged lanes longer).
-    del check_every
-    (post, msgs), _ = jax.lax.scan(sweep, (post, msgs0), None,
-                                   length=n_iters)
+    if track_trials:
+        def step(carry, i):
+            state, first_ok = carry
+            state, _ = sweep(state, None)
+            clean = syndrome_bad(state[0]) == 0
+            first_ok = jnp.where((first_ok < 0) & clean, i + 1, first_ok)
+            return (state, first_ok), 0
+
+        first0 = jnp.full(B, -1, jnp.int32) + (0 * llr[:, 0]).astype(jnp.int32)
+        ((post, msgs), first_ok), _ = jax.lax.scan(
+            step, ((post, msgs0), first0), jnp.arange(n_iters))
+        trials = jnp.where(first_ok < 0, n_iters, first_ok)
+    else:
+        (post, msgs), _ = jax.lax.scan(sweep, (post, msgs0), None,
+                                       length=n_iters)
+        trials = jnp.full(B, n_iters, jnp.int32) + \
+            (0 * llr[:, 0]).astype(jnp.int32)
     bad = syndrome_bad(post)
 
     hard_flat = (post.reshape(-1, B) < 0).astype(jnp.uint8)
     hard = hard_flat[perm].T
-    return hard, bad
+    return hard, bad, trials
 
 
 def reference_layered_decode(llr: np.ndarray, table: str, n_iters: int = 10,
                              beta: float = 2.0) -> np.ndarray:
-    """Pure-numpy QC layered decode (golden model for the Pallas kernel).
+    """Pure-numpy QC layered decode (golden model for decode_qc).
     llr [B, N] -> hard [B, N]."""
     t = qc_tables(table)
     G, q = t["G"], t["q"]

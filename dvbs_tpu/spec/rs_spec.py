@@ -38,14 +38,6 @@ def generator_poly() -> np.ndarray:
     return g
 
 
-@functools.lru_cache()
-def _parity_gen_matrix() -> np.ndarray:
-    """[K, NROOTS] GF table: parity = GF-sum of rows selected by message
-    bytes — but RS parity is not GF(2)-linear in bytes, so instead we use
-    the LFSR method per codeword (fast enough with numpy outer ops)."""
-    raise NotImplementedError
-
-
 def encode(msg: np.ndarray) -> np.ndarray:
     """msg [..., 188] uint8 -> codeword [..., 204] uint8 (systematic)."""
     gf = _gf()

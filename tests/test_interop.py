@@ -102,7 +102,7 @@ def test_ldpc_noisy_decode_agrees_with_reference():
     assert trials >= 0, "reference failed to decode the batch"
     assert np.array_equal(ref_hard, cw)
 
-    our_hard, n_bad = ldpc_qc.decode_qc(
+    our_hard, n_bad, _ = ldpc_qc.decode_qc(
         llr_i8.astype(np.float32), cfg.ldpc_table, n_iters=24)
     assert int(np.asarray(n_bad).max()) == 0
     assert np.array_equal(np.asarray(our_hard), cw)
