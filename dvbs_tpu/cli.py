@@ -21,9 +21,20 @@ from .models.driver import DVBS2Stream
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU DVB-S/S2 demodulator")
-    ap.add_argument("--iq", required=True, help="IQ file (2 samples/symbol)")
+    ap.add_argument("--iq", required=True,
+                    help="IQ file (2 samples/symbol unless --samplerate "
+                         "and --symbolrate say otherwise)")
     ap.add_argument("--format", default="cf32",
                     choices=["cf32", "cs16", "cs8", "cu8"])
+    ap.add_argument("--samplerate", type=float, default=None,
+                    help="capture sample rate in Hz; with --symbolrate, "
+                         "resamples to 2 samples/symbol on ingest "
+                         "(the runtime rate coupling of main.cpp:217-243)")
+    ap.add_argument("--symbolrate", type=float, default=None,
+                    help="signal symbol rate in Hz (with --samplerate)")
+    ap.add_argument("--offset", type=float, default=0.0,
+                    help="carrier offset in Hz within the capture "
+                         "(mixed to baseband before resampling)")
     ap.add_argument("--mode", default="s2", choices=["s", "s2"])
     ap.add_argument("--modcod", type=int, default=None,
                     help="DVB-S2 MODCOD number 1-28")
@@ -66,10 +77,20 @@ def main(argv=None):
             else (lambda b: None)
 
     samples = source.read_iq_file(args.iq, args.format)
+    ingest = None
+    if args.samplerate and args.symbolrate:
+        from .ops.resample import Channelizer
+        ingest = Channelizer(args.samplerate,
+                             [(args.offset, args.symbolrate)])
+    elif args.offset:
+        ap.error("--offset needs --samplerate and --symbolrate")
     total_out = 0
     chunk = 4 * args.block_symbols
     for i in range(0, len(samples), chunk):
-        data = stream.feed(samples[i:i + chunk])
+        feed_in = samples[i:i + chunk]
+        if ingest is not None:
+            feed_in = ingest.feed(feed_in)[0]
+        data = stream.feed(feed_in)
         total_out += len(data)
         emit(data)
         m = stream.metrics
