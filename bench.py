@@ -2,8 +2,16 @@
 """Benchmark: 8-carrier DVB-S2 QPSK 1/2 normal-frame demodulation, one TPU chip.
 
 This is the BASELINE.json north-star configuration: an 8-carrier channel
-bank demodulated end to end (front end + sync + demap + LDPC) with the
-carriers vmapped into one device program per block.
+bank demodulated END TO END — front end + sync + demap + LDPC + BCH
+syndromes on device, BB descramble + TS parse on host — with the
+carriers vmapped into one device program per block and a 3-deep
+software pipeline (upload block i+1 / compute block i / fetch+host-parse
+block i-1 all overlapped), mirroring the streaming driver's
+dispatch/finalize split (models/driver.py).
+
+Input is int8 IQ — the native cs8 SDR capture format (the reference
+ingests the same 8-bit streams via SDR++) — so the tunnel carries
+2 bytes/sample.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -34,12 +42,13 @@ def main():
     from dvbs_tpu.spec import modcod, scrambling, bch_spec
     from dvbs_tpu.tx import dvbs2_mod, channel
     from dvbs_tpu.parallel.mesh import build_carrier_bank
+    from dvbs_tpu.io.bbframe_parser import BBFrameParser
 
     mc, short = 4, False          # QPSK 1/2, normal frames (B4)
     cfg = modcod.get_config(mc, short=short)
 
     # one block of impaired IQ at the realistic operating point (5 dB:
-    # a few LDPC iterations per frame), broadcast to all carriers
+    # a few LDPC trials per frame), broadcast to all carriers
     pkts = dvbs2_mod.random_ts_packets(1800, seed=1)
     bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
     tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
@@ -47,40 +56,66 @@ def main():
     y = channel.impair(x, snr_db=5.0, cfo=0.01 * np.pi, delay_samples=0.4,
                        sco_ppm=10.0, seed=2)
     n = 2 * BLOCK
-    one = np.stack([y[:n].real, y[:n].imag]).astype(np.float16)
-    samples = np.broadcast_to(one, (N_CARRIERS, 2, n)).copy()
+    rms = np.sqrt(np.mean(np.abs(y[:n]) ** 2))
+    one = np.stack([y[:n].real, y[:n].imag]) * (32.0 / rms)
+    s8 = np.clip(np.round(one), -127, 127).astype(np.int8)
+    samples = np.broadcast_to(s8, (N_CARRIERS, 2, n)).copy()
 
     step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
                                  block_symbols=BLOCK)
-    out = step(samples)                         # compile + first run
-    out = jax.device_get(out)
-    assert out["ldpc_ok"].all(), "bench signal must decode cleanly"
+    out = step(jnp.asarray(samples))            # compile + first run
+    out_h = jax.device_get(out)
+    assert out_h["ldpc_ok"].all(), "bench signal must decode cleanly"
+    assert not out_h["bch_bad"].any(), "bench frames must be BCH-clean"
+
+    n_frames = out_h["kbch_bytes"].shape[0]
+    kb = cfg.kbch // 8
+
+    def host_process(h):
+        """BB descramble + TS parse of one fetched block (per carrier)."""
+        total = 0
+        kbb = h["kbch_bytes"].reshape(N_CARRIERS, -1, kb)
+        for c in range(N_CARRIERS):
+            parser = BBFrameParser(cfg.kbch)
+            frames = np.stack([scrambling.bb_scramble_bytes(fr)
+                               for fr in kbb[c]])
+            total += len(parser.feed(frames))
+        return total
+
+    # correctness: the host path must reproduce the transmitted TS bytes
+    ts0 = host_process(out_h)
+    sent = pkts.tobytes()
+    parser = BBFrameParser(cfg.kbch)
+    frames = np.stack([scrambling.bb_scramble_bytes(fr)
+                       for fr in out_h["kbch_bytes"][:out_h["kbch_bytes"]
+                                                     .shape[0] // N_CARRIERS]])
+    got = parser.feed(frames)
+    assert len(got) >= 188 * 20 and sent.find(got[:188 * 5]) >= 0, \
+        "decoded TS does not match the transmitted stream"
 
     reps = 10
-    # software-pipelined streaming: upload block i+1 while block i computes
-    dev_next = jax.device_put(jnp.asarray(samples))
+    # 3-deep pipeline: upload i+1 || compute i || fetch + host-parse i-1
+    fetch_keys = ("kbch_bytes", "ldpc_ok", "bch_bad", "trials")
+    prev = None
+    ts_bytes = 0
     t0 = time.time()
     for _ in range(reps):
-        out = step(dev_next)
         dev_next = jax.device_put(jnp.asarray(samples))
-        out_h = jax.device_get(out["ldpc_ok"])
+        out = step(dev_next)
+        if prev is not None:
+            h = {k: np.asarray(jax.device_get(prev[k])) for k in fetch_keys}
+            assert h["ldpc_ok"].all()
+            ts_bytes += host_process(h)
+        prev = out
+    h = {k: np.asarray(jax.device_get(prev[k])) for k in fetch_keys}
+    ts_bytes += host_process(h)
     dt = (time.time() - t0) / reps
+    assert ts_bytes >= reps * ts0 * 0.9
 
-    n_frames = out["hard"].shape[0]
-    frames_per_s = n_frames / dt
     samp_per_s = N_CARRIERS * n / dt
 
-    # correctness: decoded info bits must match the transmitted BCH
-    # codewords exactly (spot-check two frames)
-    hard = np.asarray(jax.device_get(out["hard"]))
-    bits0 = np.unpackbits(bb[1])   # block frame 0 = TX frame 1 (edge margin)
-    expect0 = bch_spec.encode(bits0, cfg.framesize, cfg.rate)
-    found = any(np.array_equal(hard[f, :cfg.nbch], expect0)
-                for f in range(min(4, n_frames)))
-    assert found, "decoded frames do not match the transmitted stream"
-
     print(json.dumps({
-        "metric": "dvbs2_qpsk12_8carrier_e2e_throughput",
+        "metric": "dvbs2_qpsk12_8carrier_e2e_ts_throughput",
         "value": round(samp_per_s / 1e6, 4),
         "unit": "Msamples/s",
         "vs_baseline": round(samp_per_s / 61.4e6, 4),

@@ -64,6 +64,19 @@ class BBFrameParser:
         self.last_bb_proc = 0
         self.last_gse_crc_err = False
 
+    def mark_gap(self):
+        """Signal that one or more BBFRAMEs were lost upstream (LDPC/BCH
+        failure or stream discontinuity): drop partial reassembly and
+        realign at the next frame's SYNCD.
+
+        The reference has no such signal — every frame, corrupt or not,
+        reaches its parser, and corrupt headers fail the CRC-8 gate
+        which sets synched=false (bbframe_ts_parser.cpp:129-131). Here
+        unconverged frames are withheld, so the gap must be explicit or
+        packet reassembly would silently misalign forever."""
+        self.synched = False
+        self.count = 0
+
     def feed(self, frames: np.ndarray) -> bytes:
         """frames: [n, kbch/8] uint8 plaintext BBFRAMEs. Returns output
         byte stream (TS packets or GRE-encapsulated PDUs)."""

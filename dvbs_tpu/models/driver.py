@@ -52,6 +52,8 @@ class DVBS2Stream:
         self._fifo = np.zeros(0, np.complex64)
         self._vote = collections.deque(maxlen=50)
         self.metrics = Metrics()
+        from ..profiling import PipelineStats
+        self.stats = PipelineStats()
         self._configure(mc, short, pilots)
 
     def _configure(self, mc: int, short: bool, pilots: bool):
@@ -60,24 +62,85 @@ class DVBS2Stream:
                                 max_ldpc_trials=self.max_ldpc_trials)
         self.cfg = self.rx.cfg
         self.parser = BBFrameParser(self.cfg.kbch)
+        self._pending = None         # (rx, device outputs) of dispatched block
+        self._next_adv = 2 * self.rx.n_frames * self.cfg.plframe_len
 
     def feed(self, samples: np.ndarray) -> bytes:
-        """Feed 2-sps samples; returns TS/GRE bytes produced."""
+        """Feed 2-sps samples; returns TS/GRE bytes produced.
+
+        Pipelined: while block i's device outputs are fetched and
+        host-processed (BCH repair, TS parse), block i+1 is already
+        uploaded and computing on device — the reference overlaps the
+        same way with per-Processor threads (module_dvbs_demod.h:32-44).
+        The look-ahead dispatch uses the steady-state advance (frame
+        boundaries sit at the same in-block position every block); the
+        measured boundary drift feeds back into the advance one block
+        late, well within the locate window's margin.
+        """
         self._fifo = np.concatenate([self._fifo,
                                      np.asarray(samples, np.complex64)])
         out = bytearray()
         n = 2 * self.block_symbols
-        while len(self._fifo) >= n:
-            res = self.rx.process_symbols_block(self._fifo[:n])
-            out.extend(self.parser.feed(res.bbframes))
+        while True:
+            if self._pending is None:
+                if len(self._fifo) < n:
+                    break
+                with self.stats.clock.stage("dispatch"):
+                    self._pending = (self.rx,
+                                     self.rx.dispatch_block(self._fifo[:n]))
+            adv = self._next_adv
+            ahead = None
+            if len(self._fifo) >= adv + n:
+                with self.stats.clock.stage("dispatch"):
+                    ahead = (self.rx,
+                             self.rx.dispatch_block(self._fifo[adv:adv + n]))
+            rx, dev = self._pending
+            with self.stats.clock.stage("finalize"):
+                res = rx.finalize_block(dev)
+            with self.stats.clock.stage("parse"):
+                blk = self._parse_frames(res)
+            out.extend(blk)
+            self.stats.block_done(n, res.frame_ok, res.ldpc_trials, len(blk))
             self._update_metrics(res)
-            self._maybe_switch_modcod(res)
-            # consume up to (last frame end - margin - guard) so the next
-            # block's first boundary falls inside the locate window
+            switched = self._maybe_switch_modcod(res)
             last_end = int(res.last_frame_end)
-            adv = 2 * max(last_end - self.rx.edge_margin - self.GUARD,
-                          self.cfg.plframe_len)   # floor guarantees progress
-            self._fifo = self._fifo[adv:]
+            F_L = rx.n_frames * rx.cfg.plframe_len
+            if switched or ahead is None:
+                # serial tail: consume by the measured frame positions
+                # (re-centers exactly); drop the look-ahead if its
+                # config is stale — its samples are still in the FIFO
+                adv_actual = 2 * max(last_end - rx.edge_margin - self.GUARD,
+                                     rx.cfg.plframe_len)
+                self._fifo = self._fifo[adv_actual:]
+                self._pending = None
+                self._next_adv = 2 * self.rx.n_frames * \
+                    self.rx.cfg.plframe_len
+            else:
+                self._fifo = self._fifo[adv:]
+                self._pending = ahead
+                # boundary drift of the retired block -> advance trim.
+                # Gain 1/2 damps the one-block-delayed feedback loop
+                # (d[i+1] = d[i] - g*d[i-1] + c has |roots| < 1 only for
+                # g < 1; g = 1 is a marginally-stable oscillator)
+                d0 = last_end - F_L            # == located starts[0]
+                err = int(np.clip((d0 - (rx.edge_margin + self.GUARD)) // 2,
+                                  -rx.edge_margin // 2, rx.edge_margin // 2))
+                self._next_adv = 2 * (F_L + err)
+        return bytes(out)
+
+    def _parse_frames(self, res) -> bytes:
+        """Feed the block's good BBFRAMEs to the TS/GSE parser, marking
+        an explicit gap wherever a frame failed (see
+        BBFrameParser.mark_gap) so packet reassembly realigns at the
+        next SYNCD instead of silently concatenating across the hole."""
+        out = bytearray()
+        fi = 0
+        for okf in res.frame_ok:
+            if okf:
+                out.extend(self.parser.feed(res.bbframes[fi:fi + 1]))
+                fi += 1
+            else:
+                self.parser.mark_gap()
         return bytes(out)
 
     def _update_metrics(self, res):
@@ -90,8 +153,8 @@ class DVBS2Stream:
             if len(good) else 0.0
         m.frames_seen += len(res.frame_ok)
         m.frames_ok += int(res.frame_ok.sum())
-        m.bbframes_total = self.parser.last_bb_cnt
-        m.bbframes_processed = self.parser.last_bb_proc
+        m.bbframes_total = len(res.frame_ok)
+        m.bbframes_processed = int(res.frame_ok.sum())
         m.last_header = self.parser.last_header
         m.coarse_cfo = res.coarse_cfo
         if len(res.detected_pls):
@@ -119,8 +182,9 @@ class DVBS2Stream:
         self.parser.partial = st["parser_partial"].copy()
         self.parser.synched = st["parser_synched"]
 
-    def _maybe_switch_modcod(self, res):
-        """50-frame consistency vote (main.cpp:383-408).
+    def _maybe_switch_modcod(self, res) -> bool:
+        """50-frame consistency vote (main.cpp:383-408). Returns True if
+        the receiver was reconfigured (pipelined look-ahead is stale).
 
         Only confident detections vote: while misconfigured (wrong frame
         length), the locator lands off-SOF on some frames and their PLS
@@ -132,7 +196,7 @@ class DVBS2Stream:
             if c >= 0.7:
                 self._vote.append(int(pls))
         if not self.auto_modcod or len(self._vote) < 50:
-            return
+            return False
         # 90% supermajority (the reference requires strict unanimity over
         # every frame, main.cpp:383-395, but its per-frame re-correlation
         # never sees misaligned frames; our block locator does while the
@@ -145,5 +209,7 @@ class DVBS2Stream:
             try:
                 self._configure(mc, short, pilots)
                 self._vote.clear()
+                return True
             except ValueError:
                 pass
+        return False

@@ -150,30 +150,65 @@ class DVBS2Receiver:
         # LDPC + BCH run as separate programs: embedded in the big block
         # program the QC decoder loses its all-VMEM schedule (~100x slower);
         # chaining jit calls keeps the data on device with no host hop.
-        @jax.jit
-        def fec(llrs):
-            hard, n_bad, trials = ldpc_qc.decode_qc(
-                llrs, cfg.ldpc_table, n_iters=self.max_ldpc_trials)
-            ok = n_bad == 0
-            bch_bad = bch.syndrome_nonzero(hard[:, :cfg.nbch],
-                                           cfg.framesize, cfg.rate)
-            return dict(hard=hard, trials=trials, ldpc_ok=ok,
-                        bch_bad=bch_bad)
+        def make_fec(n_iters):
+            @jax.jit
+            def fec(llrs):
+                hard, n_bad, trials = ldpc_qc.decode_qc(
+                    llrs, cfg.ldpc_table, n_iters=n_iters)
+                ok = n_bad == 0
+                bch_bad = bch.syndrome_nonzero(hard[:, :cfg.nbch],
+                                               cfg.framesize, cfg.rate)
+                return dict(hard=hard, trials=trials, ldpc_ok=ok,
+                            bch_bad=bch_bad)
+            return fec
 
-        self._fec_fn = fec
+        # two-pass escalation (the host-level analogue of the reference's
+        # bad()-gated trial loop, layered_decoder.hh:121-133): every block
+        # pays a short pass; the rare unconverged block retries with the
+        # full budget. Early exit INSIDE the decoder is a dead end on TPU
+        # (while_loop breaks the all-VMEM schedule).
+        self.pass1_iters = min(10, self.max_ldpc_trials)
+        self._fec_fn = make_fec(self.pass1_iters)
+        self._fec2_fn = make_fec(self.max_ldpc_trials) \
+            if self.max_ldpc_trials > self.pass1_iters else None
         return run
 
     # ------------------------------------------------------------------
-    def process_symbols_block(self, samples: np.ndarray) -> BlockResult:
-        """Process one block of 2-sps samples (length 2*block_symbols)."""
-        cfg = self.cfg
+    def dispatch_block(self, samples: np.ndarray):
+        """Upload one block and dispatch the device chain (front end ->
+        LDPC+BCH syndromes) WITHOUT waiting: returns a dict of device
+        arrays. jax dispatch is asynchronous, so the caller can overlap
+        host work / further uploads with this block's device compute —
+        the TPU-side analogue of the reference's per-Processor worker
+        threads (module_dvbs_demod.h:32-44)."""
         s = np.asarray(samples)
         scale = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
         sn = s / scale   # pre-normalize so float16 transport cannot clip
         ri = np.stack([sn.real.astype(np.float16), sn.imag.astype(np.float16)])
         out = self._sym_fn(jnp.asarray(ri))
-        out.update(self._fec_fn(out.pop("llrs")))
+        llrs = out.pop("llrs")
+        out.update(self._fec_fn(llrs))
+        if self._fec2_fn is not None:
+            out["_llrs"] = llrs     # device-resident, for escalation only
+        return out
+
+    def finalize_block(self, out) -> BlockResult:
+        """Fetch a dispatched block's device outputs and run the host
+        side (escalation rerun, BCH repair, BB descramble)."""
+        cfg = self.cfg
+        llrs = out.pop("_llrs", None)
         out = jax.device_get(out)   # one batched fetch
+        if llrs is not None:
+            retry = (~out["ldpc_ok"]) & \
+                (np.asarray(out["quality"]) >= self.sof_threshold)
+            if retry.any():
+                out2 = jax.device_get(self._fec2_fn(llrs))
+                for k in ("hard", "ldpc_ok", "bch_bad"):
+                    out[k] = np.where(
+                        retry.reshape((-1,) + (1,) * (out[k].ndim - 1)),
+                        out2[k], out[k])
+                out["trials"] = np.where(
+                    retry, self.pass1_iters + out2["trials"], out["trials"])
         hard = out["hard"]
         trials = out["trials"]
         ldpc_ok = out["ldpc_ok"]
@@ -222,3 +257,7 @@ class DVBS2Receiver:
                            1j * out["scatter"][1]).astype(np.complex64),
             detected_pls_conf=np.asarray(out["pls_conf"]),
         )
+
+    def process_symbols_block(self, samples: np.ndarray) -> BlockResult:
+        """Process one block of 2-sps samples (length 2*block_symbols)."""
+        return self.finalize_block(self.dispatch_block(samples))

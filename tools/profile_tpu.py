@@ -90,7 +90,7 @@ def main():
     st_tim = v(lambda yy: frontend.recover_symbols(yy, n_windows=16)[0])
     st_corr = v(lambda z: plsync.correlate(z)[0])
     st_loc = v(lambda s: plsync.locate_frames(s, L, F, margin=rx.edge_margin))
-    st_ext = v(plsync.extract_frames)
+    st_ext = v(lambda zz, ss: plsync.extract_frames(zz, ss, L))
 
     def phase_demap(frames):
         fed = plphase.coarse_fed_common(frames, cfg)
@@ -109,21 +109,23 @@ def main():
     st_phase = v(phase_demap)
 
     stages = []
-    t, cx = timeit(to_c, dev); stages.append(("to_complex", t))
-    t, xa = timeit(st_agc, cx); stages.append(("agc", t))
-    t, cfo = timeit(st_cfo, xa); stages.append(("coarse_cfo", t))
-    t, xm = timeit(st_mix, xa, cfo); stages.append(("mix", t))
-    t, ym = timeit(st_mf, xm); stages.append(("matched_filter", t))
-    t, z = timeit(st_tim, ym); stages.append(("timing_recovery", t))
-    t, sc = timeit(st_corr, z); stages.append(("plsync_correlate", t))
-    t, loc = timeit(st_loc, sc); stages.append(("locate_frames", t))
+    def st(name, fn, *args):
+        t, out = timeit(fn, *args)
+        stages.append((name, t))
+        print(f"  {name:18s} {t * 1e3:7.2f} ms", flush=True)
+        return out
+    cx = st("to_complex", to_c, dev)
+    xa = st("agc", st_agc, cx)
+    cfo = st("coarse_cfo", st_cfo, xa)
+    xm = st("mix", st_mix, xa, cfo)
+    ym = st("matched_filter", st_mf, xm)
+    z = st("timing_recovery", st_tim, ym)
+    sc = st("plsync_correlate", st_corr, z)
+    loc = st("locate_frames", st_loc, sc)
     starts = loc[0]
-    t, frames = timeit(st_ext, z, starts, ); stages.append(("extract", t))
-    t, pd = timeit(st_phase, frames); stages.append(("phase+demap", t))
+    frames = st("extract", st_ext, z, starts)
+    pd = st("phase+demap", st_phase, frames)
     tot = sum(s[1] for s in stages)
-    for name, t in stages:
-        print(f"  {name:18s} {t * 1e3:7.2f} ms  {100 * t / tot:5.1f}%",
-              flush=True)
     print(f"  sum of stages      {tot * 1e3:7.2f} ms", flush=True)
 
     # whole fused _sym_fn for comparison
