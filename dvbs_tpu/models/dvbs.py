@@ -50,6 +50,8 @@ class DVBSBlockResult:
     rs_avg_errors: float
     deframer_errors: int
     n_symbols: int
+    constellation: np.ndarray | None = None   # [1024] complex64 scatter
+                                  # (symToSoft side-channel, main.cpp:515-521)
 
 
 class DVBSReceiver:
@@ -111,7 +113,10 @@ class DVBSReceiver:
                 f4 * S + ph[-1],
                 jnp.zeros(()),
             ])
-            return soft.reshape(-1), new_hints
+            # constellation side-channel (symToSoft scatter, main.cpp:515-521;
+            # stacked re/im — complex fetches are unimplemented on axon)
+            scat = jnp.stack([jnp.real(zc[:1024]), jnp.imag(zc[:1024])])
+            return soft.reshape(-1), new_hints, scat
         return front
 
     # ------------------------------------------------------------------
@@ -173,8 +178,11 @@ class DVBSReceiver:
         s = np.asarray(samples)
         n = len(s)
         ri = np.stack([s.real.astype(np.float32), s.imag.astype(np.float32)])
-        soft_j, hints_j = self._front(jnp.asarray(ri), jnp.asarray(self._hints))
+        soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
+                                              jnp.asarray(self._hints))
         soft = np.asarray(soft_j)
+        scat = np.asarray(scat_j)
+        constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
         old_nco, old_cfo = float(self._hints[1]), None
         self._hints = np.asarray(hints_j).copy()
         # fold whole-sample timing drift into the host FIFO advance so the
@@ -193,7 +201,8 @@ class DVBSReceiver:
                 return DVBSBlockResult(np.zeros((0, 188), np.uint8), self.ber,
                                        False, None, 0.0,
                                        self.deframer.sync_errors,
-                                       len(soft) // 2)
+                                       len(soft) // 2,
+                                       constellation=constellation)
 
         srot = self._rotate_serial(soft, self.rotation)
         stream = np.concatenate([self._llr_carry, srot[self.drop:]]) \
@@ -257,7 +266,7 @@ class DVBSReceiver:
         ts = np.concatenate(pkts) if pkts else np.zeros((0, 188), np.uint8)
         return DVBSBlockResult(ts, self.ber, self.locked, self.rate,
                                self.rs_avg_errors, self.deframer.sync_errors,
-                               len(soft) // 2)
+                               len(soft) // 2, constellation=constellation)
 
 
 class DVBSStream:

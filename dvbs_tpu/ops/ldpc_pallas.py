@@ -1,0 +1,292 @@
+"""Quasi-cyclic layered LDPC decoder — Pallas TPU kernel (int8, B=128).
+
+The high-throughput companion of ops/ldpc_qc.py (pure XLA, B<=24): the
+same offset-min-sum layered schedule over the same QC structure
+(qc_tables), but engineered for the hardware limits instead of around
+XLA's scheduler:
+
+- batch B = 128 frames on the LANE axis (one int8 tile wide) — the
+  xdsopl reference tops out at 16 SIMD lanes (bbframe_ldpc.h:19-27)
+- posteriors int8, padded to [(G+q)*384, 128] (384 = 3 sublane tiles),
+  resident in VMEM for the whole decode (~8.9 MB)
+- check-to-variable messages int8 in HBM ([q, Dmax, 384, 128]), streamed
+  one layer per grid step by the Pallas pipeline (auto double-buffered),
+  so the message working set never caps the batch — the "HBM-streamed
+  B=128" design CLAUDE.md round-1 notes called the ~10x headroom
+- cyclic shifts of the 360-row groups via a doubled scratch buffer and
+  one dynamic-start static-size slice (no gathers)
+- all layer entries (info groups, current parity, previous parity with
+  its layer-0 wrap mask) are uniform (group, shift, flags) rows of a
+  scalar-prefetched table, so the kernel body is one static Dmax loop
+  compiled once and swept by the (iteration, layer) grid
+
+Arithmetic is int16 internally with saturation to int8 on store — the
+same numeric family as the reference's int8 SIMD decoder
+(dvbs2/codings/xdsopl-ldpc-pabr/, generic.hh SIMD ops).
+
+Fixed sweep count (no early exit — see ldpc_qc.py's note); real
+per-frame trial counts come from the caller's two-pass escalation
+(models/dvbs2.py) or from decode_qc.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ldpc_qc import qc_tables, LANES
+
+PAD = 384            # 360 rounded up to 3 sublane tiles of 128-lane int8
+B = 128              # frames per call (lane axis)
+
+F_VALID = 1
+F_MASK0 = 2          # wrap entry of layer 0: column 0 carries no edge
+MSG_CLIP = 31        # message magnitude cap (posterior headroom, see kernel)
+
+
+def quantize_llrs(llr: jax.Array) -> jax.Array:
+    """Float LLRs [B, N] -> int8 at the kernel's operating scale
+    (rms ~ 8: strong bits ~ +-25, leaving ~4 message amplitudes of
+    posterior headroom below the int8 clip)."""
+    rms = jnp.sqrt(jnp.mean(llr.astype(jnp.float32) ** 2)) + 1e-20
+    return jnp.clip(jnp.round(llr * (8.0 / rms)), -127, 127
+                    ).astype(jnp.int8)
+
+
+@functools.lru_cache()
+def kernel_tables(table: str):
+    """(g_tab, s_tab, f_tab) int32 [q, Dmax] + layout constants."""
+    t = qc_tables(table)
+    G, q = t["G"], t["q"]
+    rows = []
+    for r in range(q):
+        ents = [(g, s, F_VALID) for (g, s) in t["layers"][r]]
+        ents.append((G + r, 0, F_VALID))                      # parity a=r
+        if r == 0:
+            ents.append((G + q - 1, 1, F_VALID | F_MASK0))    # wrap edge
+        else:
+            ents.append((G + r - 1, 0, F_VALID))
+        rows.append(ents)
+    Dmax = max(len(e) for e in rows)
+    g_tab = np.zeros((q, Dmax), np.int32)
+    s_tab = np.zeros((q, Dmax), np.int32)
+    f_tab = np.zeros((q, Dmax), np.int32)
+    for r, ents in enumerate(rows):
+        for e, (g, s, f) in enumerate(ents):
+            g_tab[r, e], s_tab[r, e], f_tab[r, e] = g, s, f
+    # padded QC layout permutation: codeword bit i -> padded row index
+    perm = t["perm"].astype(np.int64)
+    padded_perm = (perm // LANES) * PAD + (perm % LANES)
+    return dict(G=G, q=q, Dmax=Dmax, g_tab=g_tab, s_tab=s_tab, f_tab=f_tab,
+                padded_perm=padded_perm.astype(np.int32),
+                N=t["N"], K=t["K"])
+
+
+def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
+            vstash, roll_buf, *, Dmax, beta, n_rows):
+    # one pallas_call = ONE layered sweep; grid is the layer index only.
+    # Messages are read once and written once per sweep, so the sweep is
+    # purely functional (msgs_in -> msgs_out) and sweeps chain as
+    # ordinary jit calls — XLA double-buffers the HBM arrays between
+    # them. (In-place read-back through input_output_aliases across a
+    # sweep-inside-the-grid design is NOT reliable — interpret mode
+    # showed aliased inputs never observe the kernel's own writes.)
+    r = pl.program_id(0)
+
+    # posteriors live in the (revisited, hence VMEM-resident) output
+    # block; the incoming state stays in HBM and is DMA'd in once
+    @pl.when(r == 0)
+    def _():
+        def init(sem):
+            cp = pltpu.make_async_copy(post_in, post_out, sem)
+            cp.start()
+            cp.wait()
+        pl.run_scoped(init, pltpu.SemaphoreType.DMA(()))
+
+    # every elementwise tensor is padded to PAD=384 rows (tile-aligned
+    # for int16/i1 — Mosaic relayouts fail on 360-row masks). Rows
+    # 360:383 carry don't-care values: all ops are row-elementwise, so
+    # garbage never crosses into the valid rows, and neither the rolls
+    # (which read rows 0:360 only) nor the hard/syndrome consumers
+    # (perm gather / [:360] slice) ever look at the padding.
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (PAD, B), 0) == 0
+    big = jnp.int16(16384)
+
+    def roll360(x, s):
+        """[PAD, B] -> [PAD, B] whose rows 0:360 are the cyclic shift
+        of x[0:360] by dynamic s in [0, 360): a static sub-8 shift
+        (lax.switch over 8 concatenations) composed with an 8-aligned
+        dynamic-start slice of a tripled buffer — Mosaic requires
+        dynamic sublane offsets to be provably 8-aligned."""
+        x0 = x[0:LANES, :]
+        s_lo = jax.lax.rem(s, 8)
+        s_hi = s - s_lo
+
+        def mk(k):
+            def f():
+                if k == 0:
+                    return x0
+                return jnp.concatenate([x0[LANES - k:, :],
+                                        x0[:LANES - k, :]], axis=0)
+            return f
+        x1 = jax.lax.switch(s_lo, [mk(k) for k in range(8)])
+        roll_buf[0:3 * LANES, :] = jnp.concatenate([x1, x1, x1], axis=0)
+        start = pl.multiple_of(LANES - s_hi, 8)
+        return roll_buf[pl.ds(start, PAD), :]
+
+    m1 = jnp.full((PAD, B), big, jnp.int16)
+    m2 = jnp.full((PAD, B), big, jnp.int16)
+    am = jnp.zeros((PAD, B), jnp.int32)
+    par = jnp.zeros((PAD, B), jnp.int16)        # sign parity: 0 / 1
+
+    # ---- pass 1: variable-to-check values, running two-min ------------
+    for e in range(Dmax):
+        g = g_ref[r, e]
+        s = s_ref[r, e]
+        fl = f_ref[r, e]
+        base = pl.multiple_of(g * PAD, PAD)
+        tile = post_out[pl.ds(base, PAD), :].astype(jnp.int16)
+        rolled = roll360(tile, s)
+        v = rolled - msgs_in[0, e].astype(jnp.int16)
+        vstash[e] = v
+        a = jnp.abs(v)
+        neg = (v < 0).astype(jnp.int16)
+        masked = (fl & F_MASK0) != 0
+        a = jnp.where(masked & row0, big, a)
+        neg = jnp.where(masked & row0, jnp.int16(0), neg)
+        invalid = (fl & F_VALID) == 0
+        a = jnp.where(invalid, big, a)
+        neg = jnp.where(invalid, jnp.int16(0), neg)
+        isnew = a < m1
+        m2 = jnp.where(isnew, m1, jnp.minimum(m2, a))
+        m1 = jnp.where(isnew, a, m1)
+        am = jnp.where(isnew, e, am)
+        par = par ^ neg
+
+    ib = jnp.int16(beta)
+
+    # ---- pass 2: new messages, posterior delta scatter ----------------
+    for e in range(Dmax):
+        g = g_ref[r, e]
+        s = s_ref[r, e]
+        fl = f_ref[r, e]
+        v = vstash[e]
+        neg = (v < 0).astype(jnp.int16)
+        excl = jnp.where(am == e, m2, m1)
+        # message magnitudes cap at 31 (not 127): the int8 posterior
+        # must hold llr + sum of ~3..7 messages without saturating —
+        # with 127-magnitude messages the delta-form update clips
+        # inconsistently and the decode hits an error floor (see the
+        # numpy study in tests/test_ldpc_pallas.py)
+        mag = jnp.clip(excl - ib, jnp.int16(0), jnp.int16(MSG_CLIP))
+        # sign of product of the OTHER inputs = total parity xor own sign
+        sg = jnp.where((par ^ neg) > 0, jnp.int16(-1), jnp.int16(1))
+        news = sg * mag
+        masked = (fl & F_MASK0) != 0
+        news = jnp.where(masked & row0, jnp.int16(0), news)
+        invalid = (fl & F_VALID) == 0
+        news = jnp.where(invalid, jnp.int16(0), news)
+        old = msgs_in[0, e].astype(jnp.int16)
+        # self-corrected min-sum (the reference's SelfCorrectedUpdate,
+        # xdsopl-ldpc-pabr/algorithms.hh): a message whose sign flipped
+        # since last sweep is erased — the damping that makes low-
+        # precision layered decoding converge (tile-parallel delta
+        # updates saturate the int8 posterior inconsistently otherwise)
+        flip = (old != 0) & ((old ^ news) < 0)
+        news = jnp.where(flip, jnp.int16(0), news)
+        delta = news - old
+        msgs_out[0, e] = news.astype(jnp.int8)
+        # inverse roll and saturating posterior update (the padding rows
+        # of post accumulate don't-care values, clipped like the rest)
+        rdelta = roll360(delta, jax.lax.rem(LANES - s, LANES))
+        base = pl.multiple_of(g * PAD, PAD)
+        cur = post_out[pl.ds(base, PAD), :].astype(jnp.int16)
+        upd = jnp.clip(cur + rdelta, jnp.int16(-127), jnp.int16(127))
+        post_out[pl.ds(base, PAD), :] = upd.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
+                                             "interpret"))
+def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
+                     beta: int = 1, interpret: bool = False):
+    """Layered OMS decode of B=128 frames in one Pallas kernel.
+
+    llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
+    Returns (hard [128, N] uint8, n_bad_checks [128] int32).
+    """
+    kt = kernel_tables(table)
+    G, q, Dmax = kt["G"], kt["q"], kt["Dmax"]
+    n_rows = (G + q) * PAD
+    assert llr_i8.shape == (B, kt["N"]), llr_i8.shape
+
+    perm = jnp.asarray(kt["padded_perm"])
+    post = jnp.zeros((n_rows, B), jnp.int8).at[perm].set(llr_i8.T)
+    msgs = jnp.zeros((q, Dmax, PAD, B), jnp.int8)
+
+    kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows)
+    sweep = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(q,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),     # post, stays HBM
+                pl.BlockSpec((1, Dmax, PAD, B),
+                             lambda r, *_: (r, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_rows, B), lambda r, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Dmax, PAD, B),
+                             lambda r, *_: (r, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Dmax, PAD, B), jnp.int16),       # vstash
+                pltpu.VMEM((3 * LANES + 8, B), jnp.int16),   # roll_buf
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, B), jnp.int8),
+            jax.ShapeDtypeStruct((q, Dmax, PAD, B), jnp.int8),
+        ],
+        interpret=interpret,
+    )
+    g_t = jnp.asarray(kt["g_tab"])
+    s_t = jnp.asarray(kt["s_tab"])
+    f_t = jnp.asarray(kt["f_tab"])
+
+    def one(carry, _):
+        post, msgs = carry
+        post, msgs = sweep(g_t, s_t, f_t, post, msgs)
+        return (post, msgs), 0
+
+    (post, msgs), _ = jax.lax.scan(one, (post, msgs), None, length=n_iters)
+    del msgs
+
+    hard = (post[perm] < 0).astype(jnp.uint8).T        # [B, N]
+
+    # syndrome count per frame (XLA, same formulation as ldpc_qc)
+    t = qc_tables(table)
+    layers = t["layers"]
+    postf = post.reshape(G + q, PAD, B)[:, :LANES, :].astype(jnp.int32)
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (LANES, B), 0) == 0)
+    bad = jnp.zeros(B, jnp.int32)
+    for r in range(q):
+        acc = jnp.zeros((LANES, B), jnp.int32)
+        for (g, s) in layers[r]:
+            acc += (jnp.roll(postf[g], s, axis=0) < 0).astype(jnp.int32)
+        acc += (postf[G + r] < 0).astype(jnp.int32)
+        prev = jnp.roll(postf[G + q - 1], 1, axis=0) if r == 0 \
+            else postf[G + r - 1]
+        prevneg = (prev < 0).astype(jnp.int32)
+        if r == 0:
+            prevneg = jnp.where(col0, 0, prevneg)
+        acc += prevneg
+        bad += jnp.sum(acc % 2, axis=0)
+    return hard, bad

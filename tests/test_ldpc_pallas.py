@@ -1,0 +1,120 @@
+"""Pallas QC-LDPC kernel (ops/ldpc_pallas.py), interpret mode on CPU.
+
+The numpy int-arithmetic golden model here is the design study for the
+kernel's numeric recipe: int8 posteriors in the delta-update tile form
+REQUIRE bounded message magnitudes (MSG_CLIP) — with full-range
+messages the saturating posterior clip is inconsistent with the stored
+messages and the decode hits an error floor. The kernel must stay
+bit-exact with this model.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dvbs_tpu.spec import ldpc_spec
+from dvbs_tpu.ops import ldpc_pallas
+from dvbs_tpu.ops.ldpc_qc import qc_tables, to_qc_layout, from_qc_layout
+
+
+def int_golden(llr_i8, table, n_iters, beta=1, msg_clip=ldpc_pallas.MSG_CLIP,
+               post_clip=127):
+    """Exact int model of the kernel's layered SCMS-OMS sweep."""
+    t = qc_tables(table)
+    G, q = t["G"], t["q"]
+    post = to_qc_layout(llr_i8.astype(np.int32), table)
+    msgs = {}
+    mask0 = np.zeros((360, 1), bool)
+    mask0[0] = True
+    for _ in range(n_iters):
+        for r in range(q):
+            entries = list(t["layers"][r]) + [("p", 0), ("pp", 0)]
+            vals, keys = [], []
+            for e, ent in enumerate(entries):
+                if ent[0] == "p":
+                    tile = post[G + r]
+                elif ent[0] == "pp":
+                    tile = np.roll(post[G + q - 1], 1, axis=0) if r == 0 \
+                        else post[G + r - 1]
+                else:
+                    tile = np.roll(post[ent[0]], ent[1], axis=0)
+                old = msgs.get((r, e), np.zeros_like(tile))
+                vals.append(tile - old)
+                keys.append(((r, e), ent, old))
+            D = len(vals)
+            a = np.abs(np.stack(vals))
+            neg = np.stack(vals) < 0
+            if r == 0:
+                a[D - 1] = np.where(mask0, 10**6, a[D - 1])
+                neg[D - 1] = np.where(mask0, False, neg[D - 1])
+            am = np.argmin(a, axis=0)
+            m1 = np.min(a, axis=0)
+            a2 = a.copy()
+            np.put_along_axis(a2, am[None], 10**6, 0)
+            m2 = np.min(a2, axis=0)
+            par = neg.sum(axis=0) % 2
+            for e, (key, ent, old) in enumerate(keys):
+                excl = np.where(am == e, m2, m1)
+                mag = np.clip(excl - beta, 0, msg_clip)
+                news = np.where(par ^ neg[e], -1, 1) * mag
+                if r == 0 and e == D - 1:
+                    news = np.where(mask0, 0, news)
+                flip = (old != 0) & (np.sign(old) != np.sign(news)) & \
+                    (news != 0)
+                news = np.where(flip, 0, news)
+                delta = news - old
+                msgs[key] = news
+
+                def upd(tile, d):
+                    return np.clip(tile + d, -post_clip, post_clip)
+                if ent[0] == "p":
+                    post[G + r] = upd(post[G + r], delta)
+                elif ent[0] == "pp":
+                    if r == 0:
+                        post[G + q - 1] = upd(post[G + q - 1],
+                                              np.roll(delta, -1, 0))
+                    else:
+                        post[G + r - 1] = upd(post[G + r - 1], delta)
+                else:
+                    post[ent[0]] = upd(post[ent[0]],
+                                       np.roll(delta, -ent[1], 0))
+    return (from_qc_layout(post, table) < 0).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def noisy_case():
+    code = ldpc_spec.get_code("C4")
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 2, (ldpc_pallas.B, code.K)).astype(np.uint8)
+    cw = code.encode(m)
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    sigma = np.sqrt(10 ** (-3.0 / 10))
+    y = x + rng.normal(0, sigma, x.shape).astype(np.float32)
+    llr = np.asarray(ldpc_pallas.quantize_llrs(
+        jnp.asarray(2.0 * y / sigma ** 2)))
+    return llr, cw
+
+
+def test_kernel_matches_int_golden(noisy_case):
+    llr, cw = noisy_case
+    for it in (1, 3):
+        hard, _ = ldpc_pallas.decode_qc_pallas(jnp.asarray(llr), "C4",
+                                               n_iters=it, interpret=True)
+        hg = int_golden(llr, "C4", n_iters=it)
+        np.testing.assert_array_equal(np.asarray(hard), hg)
+
+
+def test_kernel_converges_at_3db(noisy_case):
+    llr, cw = noisy_case
+    hard, bad = ldpc_pallas.decode_qc_pallas(jnp.asarray(llr), "C4",
+                                             n_iters=12, interpret=True)
+    assert (np.asarray(hard) == cw).all()
+    assert (np.asarray(bad) == 0).all()
+
+
+def test_full_range_messages_hit_error_floor(noisy_case):
+    """The design constraint itself: msg_clip=127 must FAIL where
+    MSG_CLIP succeeds (documents why the cap exists)."""
+    llr, cw = noisy_case
+    h127 = int_golden(llr[:, :], "C4", n_iters=12, msg_clip=127)
+    errs = (h127 != cw).sum()
+    assert errs > 0, "full-range messages unexpectedly converged"
