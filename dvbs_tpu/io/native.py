@@ -42,6 +42,7 @@ def available() -> bool:
         lib.tsparser_feed.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.tsparser_mark_gap.argtypes = [ctypes.c_void_p]
         globals()["_lib"] = lib
     return _lib is not None
 
@@ -88,8 +89,7 @@ class NativeTSDeframer:
 
 
 class NativeTSParser:
-    """TS-mode BBFRAME parser (C++). GSE frames are ignored here — route
-    GSE streams through the python BBFrameParser."""
+    """BBFRAME parser (C++): TS packets and GSE->GRE, both modes."""
 
     def __init__(self, kbch: int):
         assert available()
@@ -105,9 +105,12 @@ class NativeTSParser:
     def last_bb_proc(self):
         return int(_lib.tsparser_bb_proc(self._h))
 
+    def mark_gap(self):
+        _lib.tsparser_mark_gap(self._h)
+
     def feed(self, frames: np.ndarray) -> bytes:
         frames = np.ascontiguousarray(np.atleast_2d(frames), np.uint8)
         n = frames.shape[0]
-        out = np.empty(n * self.kbch // 8 + 188, np.uint8)
+        out = np.empty(n * (self.kbch // 8 + 64) + 188, np.uint8)
         w = _lib.tsparser_feed(self._h, _ptr(frames), n, _ptr(out))
         return out[:w].tobytes()

@@ -20,8 +20,9 @@ XLA's scheduler:
   scalar-prefetched table, so the kernel body is one static Dmax loop
   compiled once and swept by the (iteration, layer) grid
 
-Arithmetic is int16 internally with saturation to int8 on store — the
-same numeric family as the reference's int8 SIMD decoder
+Arithmetic is int32 internally (this target's Mosaic rejects int16
+vector comparisons) with saturation to int8 on store — the same numeric
+family as the reference's int8 SIMD decoder
 (dvbs2/codings/xdsopl-ldpc-pabr/, generic.hh SIMD ops).
 
 Fixed sweep count (no early exit — see ldpc_qc.py's note); real
@@ -114,7 +115,7 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
     # (which read rows 0:360 only) nor the hard/syndrome consumers
     # (perm gather / [:360] slice) ever look at the padding.
     row0 = jax.lax.broadcasted_iota(jnp.int32, (PAD, B), 0) == 0
-    big = jnp.int16(16384)
+    big = jnp.int32(16384)
 
     def roll360(x, s):
         """[PAD, B] -> [PAD, B] whose rows 0:360 are the cyclic shift
@@ -138,36 +139,42 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         start = pl.multiple_of(LANES - s_hi, 8)
         return roll_buf[pl.ds(start, PAD), :]
 
-    m1 = jnp.full((PAD, B), big, jnp.int16)
-    m2 = jnp.full((PAD, B), big, jnp.int16)
-    am = jnp.zeros((PAD, B), jnp.int32)
-    par = jnp.zeros((PAD, B), jnp.int16)        # sign parity: 0 / 1
-
     # ---- pass 1: variable-to-check values, running two-min ------------
-    for e in range(Dmax):
+    def entry_a_neg(e):
         g = g_ref[r, e]
         s = s_ref[r, e]
         fl = f_ref[r, e]
         base = pl.multiple_of(g * PAD, PAD)
-        tile = post_out[pl.ds(base, PAD), :].astype(jnp.int16)
+        tile = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
         rolled = roll360(tile, s)
-        v = rolled - msgs_in[0, e].astype(jnp.int16)
+        v = rolled - msgs_in[0, e].astype(jnp.int32)
         vstash[e] = v
         a = jnp.abs(v)
-        neg = (v < 0).astype(jnp.int16)
+        neg = (v < 0).astype(jnp.int32)
         masked = (fl & F_MASK0) != 0
         a = jnp.where(masked & row0, big, a)
-        neg = jnp.where(masked & row0, jnp.int16(0), neg)
+        neg = jnp.where(masked & row0, jnp.int32(0), neg)
         invalid = (fl & F_VALID) == 0
         a = jnp.where(invalid, big, a)
-        neg = jnp.where(invalid, jnp.int16(0), neg)
+        neg = jnp.where(invalid, jnp.int32(0), neg)
+        return a, neg
+
+    # entry 0 seeds the running mins (data-tied initial state: Mosaic
+    # cannot relayout a comparison against replicated constants)
+    a0, neg0 = entry_a_neg(0)
+    m1 = a0
+    m2 = big + 0 * a0
+    am = (0 * a0).astype(jnp.int32)
+    par = neg0
+    for e in range(1, Dmax):
+        a, neg = entry_a_neg(e)
         isnew = a < m1
         m2 = jnp.where(isnew, m1, jnp.minimum(m2, a))
         m1 = jnp.where(isnew, a, m1)
         am = jnp.where(isnew, e, am)
         par = par ^ neg
 
-    ib = jnp.int16(beta)
+    ib = jnp.int32(beta)
 
     # ---- pass 2: new messages, posterior delta scatter ----------------
     for e in range(Dmax):
@@ -175,37 +182,37 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         s = s_ref[r, e]
         fl = f_ref[r, e]
         v = vstash[e]
-        neg = (v < 0).astype(jnp.int16)
+        neg = (v < 0).astype(jnp.int32)
         excl = jnp.where(am == e, m2, m1)
         # message magnitudes cap at 31 (not 127): the int8 posterior
         # must hold llr + sum of ~3..7 messages without saturating —
         # with 127-magnitude messages the delta-form update clips
         # inconsistently and the decode hits an error floor (see the
         # numpy study in tests/test_ldpc_pallas.py)
-        mag = jnp.clip(excl - ib, jnp.int16(0), jnp.int16(MSG_CLIP))
+        mag = jnp.clip(excl - ib, jnp.int32(0), jnp.int32(MSG_CLIP))
         # sign of product of the OTHER inputs = total parity xor own sign
-        sg = jnp.where((par ^ neg) > 0, jnp.int16(-1), jnp.int16(1))
+        sg = jnp.where((par ^ neg) > 0, jnp.int32(-1), jnp.int32(1))
         news = sg * mag
         masked = (fl & F_MASK0) != 0
-        news = jnp.where(masked & row0, jnp.int16(0), news)
+        news = jnp.where(masked & row0, jnp.int32(0), news)
         invalid = (fl & F_VALID) == 0
-        news = jnp.where(invalid, jnp.int16(0), news)
-        old = msgs_in[0, e].astype(jnp.int16)
+        news = jnp.where(invalid, jnp.int32(0), news)
+        old = msgs_in[0, e].astype(jnp.int32)
         # self-corrected min-sum (the reference's SelfCorrectedUpdate,
         # xdsopl-ldpc-pabr/algorithms.hh): a message whose sign flipped
         # since last sweep is erased — the damping that makes low-
         # precision layered decoding converge (tile-parallel delta
         # updates saturate the int8 posterior inconsistently otherwise)
         flip = (old != 0) & ((old ^ news) < 0)
-        news = jnp.where(flip, jnp.int16(0), news)
+        news = jnp.where(flip, jnp.int32(0), news)
         delta = news - old
         msgs_out[0, e] = news.astype(jnp.int8)
         # inverse roll and saturating posterior update (the padding rows
         # of post accumulate don't-care values, clipped like the rest)
         rdelta = roll360(delta, jax.lax.rem(LANES - s, LANES))
         base = pl.multiple_of(g * PAD, PAD)
-        cur = post_out[pl.ds(base, PAD), :].astype(jnp.int16)
-        upd = jnp.clip(cur + rdelta, jnp.int16(-127), jnp.int16(127))
+        cur = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
+        upd = jnp.clip(cur + rdelta, jnp.int32(-127), jnp.int32(127))
         post_out[pl.ds(base, PAD), :] = upd.astype(jnp.int8)
 
 
@@ -247,8 +254,8 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((Dmax, PAD, B), jnp.int16),       # vstash
-                pltpu.VMEM((3 * LANES + 8, B), jnp.int16),   # roll_buf
+                pltpu.VMEM((Dmax, PAD, B), jnp.int32),       # vstash
+                pltpu.VMEM((3 * LANES + 8, B), jnp.int32),   # roll_buf
             ],
         ),
         out_shape=[

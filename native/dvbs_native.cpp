@@ -132,7 +132,15 @@ int deframer_feed(void* h, const uint8_t* in_bits, long n,
     return emitted;
 }
 
-// ------------------------------------------------------------- TS parser
+// ------------------------------------------------- TS / GSE parser
+
+struct GSESlot {
+    bool active = false;
+    uint8_t frag_id = 0;
+    unsigned proto = 0;
+    std::vector<uint8_t> buf;
+    uint32_t crc = 0;
+};
 
 struct TSParser {
     int kbch_bytes = 0;
@@ -141,7 +149,126 @@ struct TSParser {
     uint8_t partial[188];
     long bb_proc = 0;
     long bb_cnt = 0;
+    GSESlot gse[3];
+    bool gse_crc_err = false;
 };
+
+static uint32_t crc32_tab_[256];
+static bool crc32_init_done_ = false;
+
+static void crc32_init() {
+    // same generator construction as the reference
+    // (bbframe_ts_parser.cpp:85-95): poly 0x04C11DB7, MSB-first
+    if (crc32_init_done_) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t k = 0;
+        for (uint32_t j = (i << 24) | 0x800000; j != 0x80000000; j <<= 1)
+            k = (k << 1) ^ (((k ^ j) & 0x80000000) ? 0x04C11DB7u : 0u);
+        crc32_tab_[i] = k;
+    }
+    crc32_init_done_ = true;
+}
+
+static uint32_t crc32_update(const uint8_t* p, long n, uint32_t crc) {
+    for (long i = 0; i < n; i++)
+        crc = (crc << 8) ^ crc32_tab_[((crc >> 24) ^ p[i]) & 0xFF];
+    return crc;
+}
+
+static void emit_gre(std::vector<uint8_t>& out, unsigned proto,
+                     const uint8_t* payload, long n) {
+    // minimal GRE header (bbframe_ts_parser.cpp:259-268)
+    out.push_back(0); out.push_back(0);
+    out.push_back((proto >> 8) & 0xFF);
+    out.push_back(proto & 0xFF);
+    out.insert(out.end(), payload, payload + n);
+}
+
+// GSE data-field walk — same wire-format state machine as the python
+// BBFrameParser._feed_gse (itself mirroring bbframe_ts_parser.cpp:212-384)
+static void feed_gse(TSParser* p, const uint8_t* df, long dfl_bytes, long pos,
+                     std::vector<uint8_t>& out) {
+    crc32_init();
+    long q = pos;
+    while (q < dfl_bytes - 1) {
+        unsigned h1 = df[q], h2 = df[q + 1];
+        unsigned start = (h1 >> 7) & 1, end = (h1 >> 6) & 1;
+        unsigned lt = (h1 >> 4) & 3;
+        if (!start && !end && lt == 0) break;   // padding
+        long glen = ((h1 & 0x0F) << 8) | h2;
+        if (start && end) {
+            if (q + 4 > dfl_bytes) break;
+            unsigned proto = (df[q + 2] << 8) | df[q + 3];
+            long ds = 4; glen -= 2;
+            if (lt == 0b00) { ds += 6; glen -= 6; }
+            else if (lt == 0b10) { ds += 3; glen -= 3; }
+            if (glen < 0 || q + ds + glen > dfl_bytes) break;
+            emit_gre(out, proto, df + q + ds, glen);
+            q += ds + glen;
+        } else if (start) {
+            uint8_t frag = df[q + 2];
+            unsigned proto = (df[q + 5] << 8) | df[q + 6];
+            long ds = 7; glen -= 5;
+            long maclen = (lt == 0b00) ? 6 : (lt == 0b10) ? 3 : 0;
+            const uint8_t* mac = df + q + ds;
+            ds += maclen; glen -= maclen;
+            if (glen < 0 || q + ds + glen > dfl_bytes) break;
+            for (int rid = 0; rid < 3; rid++) {
+                GSESlot& sl = p->gse[rid];
+                if (!sl.active || sl.frag_id == frag) {
+                    sl.active = true;
+                    sl.frag_id = frag;
+                    sl.proto = proto;
+                    sl.buf.assign(df + q + ds, df + q + ds + glen);
+                    uint32_t crc = 0xFFFFFFFFu;
+                    crc = crc32_update(df + q + 3, 2, crc);
+                    crc = crc32_update(df + q + 5, 2, crc);
+                    if (maclen) crc = crc32_update(mac, maclen, crc);
+                    crc = crc32_update(df + q + ds, glen, crc);
+                    sl.crc = crc;
+                    break;
+                }
+            }
+            q += ds + glen;
+        } else if (end) {
+            uint8_t frag = df[q + 2];
+            long ds = 3; glen -= 1;
+            if (glen < 4 || q + ds + glen > dfl_bytes) break;
+            for (int rid = 0; rid < 3; rid++) {
+                GSESlot& sl = p->gse[rid];
+                if (sl.active && sl.frag_id == frag) {
+                    sl.active = false;
+                    long dn = glen - 4;
+                    sl.buf.insert(sl.buf.end(), df + q + ds, df + q + ds + dn);
+                    uint32_t crc = crc32_update(df + q + ds, dn, sl.crc);
+                    uint32_t rx = ((uint32_t)df[q + ds + dn] << 24) |
+                                  ((uint32_t)df[q + ds + dn + 1] << 16) |
+                                  ((uint32_t)df[q + ds + dn + 2] << 8) |
+                                  (uint32_t)df[q + ds + dn + 3];
+                    p->gse_crc_err = (crc != rx);
+                    if (crc == rx)
+                        emit_gre(out, sl.proto, sl.buf.data(),
+                                 (long)sl.buf.size());
+                    break;
+                }
+            }
+            q += ds + glen;
+        } else {
+            uint8_t frag = df[q + 2];
+            long ds = 3; glen -= 1;
+            if (glen < 0 || q + ds + glen > dfl_bytes) break;
+            for (int rid = 0; rid < 3; rid++) {
+                GSESlot& sl = p->gse[rid];
+                if (sl.active && sl.frag_id == frag) {
+                    sl.buf.insert(sl.buf.end(), df + q + ds, df + q + ds + glen);
+                    sl.crc = crc32_update(df + q + ds, glen, sl.crc);
+                    break;
+                }
+            }
+            q += ds + glen;
+        }
+    }
+}
 
 static unsigned crc8_bits(const uint8_t* bytes, int nbits) {
     // reference check_crc8: reflected poly 0xAB, MSB-first bits
@@ -163,11 +290,21 @@ void* tsparser_create(int kbch_bits) {
 void tsparser_destroy(void* h) { delete static_cast<TSParser*>(h); }
 long tsparser_bb_proc(void* h) { return static_cast<TSParser*>(h)->bb_proc; }
 
-// frames: n * kbch_bytes plaintext BBFRAMEs. out must hold n*kbch bytes.
-// returns bytes written (whole 188-byte TS packets, 0x47-sync'd).
+// upstream frame loss (LDPC/BCH failure): drop partial reassembly and
+// realign at the next frame's SYNCD (python BBFrameParser.mark_gap)
+void tsparser_mark_gap(void* h) {
+    auto* p = static_cast<TSParser*>(h);
+    p->synched = false;
+    p->count = 0;
+}
+
+// frames: n * kbch_bytes plaintext BBFRAMEs. out must hold n*kbch bytes
+// (+ 4 bytes GRE overhead per PDU for GSE streams; n*kbch + 64*n is safe).
+// returns bytes written (188-byte TS packets or GRE-wrapped PDUs).
 long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
     auto* p = static_cast<TSParser*>(h);
     long out_p = 0;
+    std::vector<uint8_t> gre;
     p->bb_proc = 0;   // per-call counts (reference last_bb_proc semantics)
     p->bb_cnt = 0;
     for (int f = 0; f < n; f++) {
@@ -175,6 +312,9 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
         p->bb_cnt++;
         if (crc8_bits(bbf, 80) != 0) { p->synched = false; continue; }
         unsigned ts_gs = bbf[0] >> 6;
+        unsigned issyi = (bbf[0] >> 3) & 1;
+        unsigned npd = (bbf[0] >> 2) & 1;
+        unsigned upl = (bbf[2] << 8) | bbf[3];
         unsigned dfl = (bbf[4] << 8) | bbf[5];
         unsigned syncd = (bbf[7] << 8) | bbf[8];
         unsigned max_dfl = p->kbch_bytes * 8 - 80;
@@ -182,7 +322,21 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
             p->synched = false;
             continue;
         }
-        if (ts_gs != 0b11) continue;   // GSE handled by the python parser
+        if (ts_gs == 0b01) {
+            // GSE (generic continuous), mirrored from the python parser
+            p->bb_proc++;
+            if (issyi || npd || upl != 0) continue;
+            long pos = 0;
+            if (!p->synched) {
+                long skip = syncd / 8 + 1;
+                if (skip > (long)(dfl / 8)) continue;
+                pos = skip;
+                p->synched = true;
+            }
+            feed_gse(p, bbf + 10, dfl / 8, pos, gre);
+            continue;
+        }
+        if (ts_gs != 0b11) continue;   // packetized/reserved: ignored
         p->bb_proc++;
         const uint8_t* df = bbf + 10;
         long pos = 0, df_len = dfl / 8;
@@ -216,6 +370,10 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
             memcpy(p->partial, df + pos, tail);
             p->count = (int)tail;
         }
+    }
+    if (!gre.empty()) {
+        memcpy(out + out_p, gre.data(), gre.size());
+        out_p += (long)gre.size();
     }
     return out_p;
 }

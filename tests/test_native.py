@@ -70,3 +70,34 @@ def test_tsparser_native_resync_on_bad_frame():
     py = BBFrameParser(cfg.kbch)
     nat = native.NativeTSParser(cfg.kbch)
     assert py.feed(bad) == nat.feed(bad)
+
+
+def test_tsparser_native_gse_matches_python():
+    """Native GSE->GRE path is byte-identical to the python parser,
+    including fragmented PDUs across BBFRAME boundaries and mark_gap
+    recovery."""
+    from dvbs_tpu.tx import gse_mod
+    cfg = modcod.get_config(4, short=True)
+    rng = np.random.default_rng(7)
+    pkts = []
+    for i in range(40):
+        pdu = rng.integers(0, 256, rng.integers(40, 800)).astype(
+            np.uint8).tobytes()
+        if i % 3 == 0:
+            pkts += gse_mod.gse_packets_fragmented(pdu, frag_id=i % 8,
+                                                   chunk=200)
+        else:
+            pkts.append(gse_mod.gse_packet_unfrag(pdu))
+    bb = scrambling.bb_scramble_bytes(gse_mod.gse_to_bbframes(pkts, cfg.kbch))
+    py = BBFrameParser(cfg.kbch)
+    nat = native.NativeTSParser(cfg.kbch)
+    out_p, out_n = b"", b""
+    for i in range(len(bb)):
+        if i == len(bb) // 2:       # simulate a lost frame mid-stream
+            py.mark_gap()
+            nat.mark_gap()
+            continue
+        out_p += py.feed(bb[i:i + 1])
+        out_n += nat.feed(bb[i:i + 1])
+    assert len(out_p) > 0
+    assert out_p == out_n
