@@ -2,12 +2,14 @@
 """Benchmark: 8-carrier DVB-S2 QPSK 1/2 normal-frame demodulation, one TPU chip.
 
 This is the BASELINE.json north-star configuration: an 8-carrier channel
-bank demodulated END TO END — front end + sync + demap + LDPC + BCH
-syndromes on device, BB descramble + TS parse on host — with the
-carriers vmapped into one device program per block and a 3-deep
-software pipeline (upload block i+1 / compute block i / fetch+host-parse
-block i-1 all overlapped), mirroring the streaming driver's
-dispatch/finalize split (models/driver.py).
+bank demodulated END TO END — front end + sync + demap on device, all
+128 frames per block LDPC-decoded in ONE int8 Pallas kernel call
+(ops/ldpc_pallas, 9k+ normal-frames/s), BCH syndromes on device, BB
+descramble + TS parse on host — with the carriers vmapped into one
+device program per block and a 3-deep software pipeline (upload block
+i+1 / compute block i / fetch+host-parse block i-1 all overlapped),
+mirroring the streaming driver's dispatch/finalize split
+(models/driver.py).
 
 Input is int8 IQ — the native cs8 SDR capture format (the reference
 ingests the same 8-bit streams via SDR++) — so the tunnel carries
@@ -31,7 +33,6 @@ import time
 import numpy as np
 
 N_CARRIERS = 8
-BLOCK = 1 << 17
 
 
 def main():
@@ -41,11 +42,14 @@ def main():
 
     from dvbs_tpu.spec import modcod, scrambling, bch_spec
     from dvbs_tpu.tx import dvbs2_mod, channel
-    from dvbs_tpu.parallel.mesh import build_carrier_bank
+    from dvbs_tpu.parallel.mesh import build_carrier_bank, bank_block_symbols
     from dvbs_tpu.io.bbframe_parser import BBFrameParser
 
     mc, short = 4, False          # QPSK 1/2, normal frames (B4)
     cfg = modcod.get_config(mc, short=short)
+    # block sized so the bank's 8 carriers yield exactly 128 frames —
+    # one full int8 Pallas LDPC kernel batch (ops/ldpc_pallas)
+    BLOCK = bank_block_symbols(N_CARRIERS, mc=mc, short=short)
 
     # one block of impaired IQ at the realistic operating point (5 dB:
     # a few LDPC trials per frame), broadcast to all carriers
@@ -62,7 +66,7 @@ def main():
     samples = np.broadcast_to(s8, (N_CARRIERS, 2, n)).copy()
 
     step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
-                                 block_symbols=BLOCK)
+                                 block_symbols=BLOCK, fec="pallas")
     out = step(jnp.asarray(samples))            # compile + first run
     out_h = jax.device_get(out)
     assert out_h["ldpc_ok"].all(), "bench signal must decode cleanly"

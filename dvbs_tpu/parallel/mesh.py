@@ -61,9 +61,21 @@ def build_multi_carrier(n_devices: int, carriers_per_device: int = 1,
     return step, example, mesh
 
 
+def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
+                       short: bool = False,
+                       frames_total: int = 128) -> int:
+    """Smallest per-carrier block that makes the bank's frame total
+    exactly `frames_total` — the Pallas LDPC kernel's batch width."""
+    cfg = modcod.get_config(mc, short=short)
+    per = -(-frames_total // n_carriers)
+    raw = (per + 1) * cfg.plframe_len + 2 * 256 + 90
+    # round up to a multiple of 64 (timing-recovery window divisibility)
+    return -(-raw // 64) * 64
+
+
 def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                        block_symbols: int = 1 << 17, n_iters: int = 12,
-                       fec_chunk: int = 24):
+                       fec_chunk: int = 24, fec: str = "auto"):
     """Single-device multi-carrier bank: the whole bank demodulates in one
     device program per block (vmap over the carrier axis), which amortizes
     the per-call host<->device latency — the BASELINE.json 8-carrier
@@ -71,10 +83,14 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
 
     Input is int8 IQ ([C, 2, n], the native cs8 SDR capture format —
     half the tunnel bytes of float16; the on-device AGC renormalizes).
-    The LDPC stage runs in lane chunks of `fec_chunk` frames so its
-    working set stays VMEM-resident (see CLAUDE.md), and the decoded
-    kbch systematic bits are packed to bytes ON DEVICE (a [8]-dot per
-    byte) so the output fetch is 8x smaller.
+    The decoded kbch systematic bits are packed to bytes ON DEVICE (a
+    [8]-dot per byte) so the output fetch is 8x smaller.
+
+    fec: "pallas" decodes all lanes in one int8 B=128 kernel call
+    (ops/ldpc_pallas; requires carriers*frames == 128 — size the block
+    with bank_block_symbols); "xla" runs decode_qc in `fec_chunk` lane
+    chunks (the VMEM-resident path, any frame total, real per-frame
+    trial counts); "auto" picks pallas iff the total is exactly 128.
 
     Returns (step_fn, example_input): step(samples_i8 [C, 2, n]) ->
     dict(kbch_bytes [C*F, kbch/8] uint8, trials [C*F], ldpc_ok [C*F],
@@ -88,34 +104,63 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     N = rx.cfg.nldpc
     kbch = rx.cfg.kbch
     total = n_carriers * F
+    from ..ops import ldpc_pallas
+    if fec == "auto":
+        fec = "pallas" if total == ldpc_pallas.B else "xla"
+    if fec == "pallas" and total != ldpc_pallas.B:
+        raise ValueError(f"pallas fec needs exactly {ldpc_pallas.B} frames "
+                         f"per block, bank makes {total} "
+                         f"(use bank_block_symbols)")
 
     vm_core = jax.jit(jax.vmap(core))
     slice_llrs = jax.jit(
         lambda l, lo: jax.lax.dynamic_slice(l, (lo, 0), (fec_chunk, N)))
 
-    @jax.jit
-    def fec(llrs):
-        from ..ops import ldpc_qc, bch
-        hard, n_bad, trials = ldpc_qc.decode_qc(
-            llrs, rx.cfg.ldpc_table, n_iters=n_iters)
+    def pack_and_check(hard):
+        from ..ops import bch
         bch_bad = bch.syndrome_nonzero(hard[:, :rx.cfg.nbch],
                                        rx.cfg.framesize, rx.cfg.rate)
         w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
         packed = jnp.dot(
             hard[:, :kbch].reshape(-1, kbch // 8, 8).astype(jnp.float32),
             w, preferred_element_type=jnp.float32).astype(jnp.uint8)
+        return packed, bch_bad
+
+    @jax.jit
+    def fec_xla(llrs):
+        from ..ops import ldpc_qc
+        hard, n_bad, trials = ldpc_qc.decode_qc(
+            llrs, rx.cfg.ldpc_table, n_iters=n_iters)
+        packed, bch_bad = pack_and_check(hard)
+        return dict(kbch_bytes=packed, trials=trials,
+                    ldpc_ok=n_bad == 0, bch_bad=bch_bad)
+
+    @jax.jit
+    def fec_pallas(llrs):
+        hard, n_bad = ldpc_pallas.decode_qc_pallas(
+            ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
+            n_iters=n_iters)
+        packed, bch_bad = pack_and_check(hard)
+        # fixed-sweep kernel: trials is the sweep count, not per-frame
+        # convergence (the streaming driver's escalation is the honest
+        # trial-count path)
+        trials = jnp.full(llrs.shape[0], n_iters, jnp.int32)
         return dict(kbch_bytes=packed, trials=trials,
                     ldpc_ok=n_bad == 0, bch_bad=bch_bad)
 
     def step(samples_i8):
         # NOTE deliberately not one fused jit: the QC LDPC decoder must run
-        # as its own program to keep its all-VMEM schedule (CLAUDE.md);
+        # as its own program to keep its schedule (CLAUDE.md);
         # intermediate arrays stay on device between the chained calls.
         out = vm_core(samples_i8)
         llrs = out.pop("llrs").reshape(total, N)
-        parts = [fec(slice_llrs(llrs, lo))
-                 for lo in range(0, total, fec_chunk)]
-        fd = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+        if fec == "pallas":
+            fd = fec_pallas(llrs)
+        else:
+            parts = [fec_xla(slice_llrs(llrs, lo))
+                     for lo in range(0, total, fec_chunk)]
+            fd = {k: jnp.concatenate([p[k] for p in parts])
+                  for k in parts[0]}
         fd.update(quality=out["quality"], pls=out["pls"])
         return fd
 
