@@ -83,8 +83,12 @@ class DVBSReceiver:
         @jax.jit
         def front(samples_ri, hints):
             # hints: [cfo, nco_phase, tau, theta, first]
+            # samples arrive as float16 re/im (tunnel-limited upload);
+            # AGC renormalizes so the reduced range costs nothing
             first = hints[4] > 0.5
-            s = (samples_ri[0] + 1j * samples_ri[1]).astype(jnp.complex64)
+            s = (samples_ri[0].astype(jnp.float32) +
+                 1j * samples_ri[1].astype(jnp.float32)
+                 ).astype(jnp.complex64)
             x = frontend.agc(s)
             cfo = jnp.where(first, frontend.coarse_cfo_estimate(x), hints[0])
             nco_phase = jnp.where(first, 0.0, hints[1])
@@ -116,7 +120,9 @@ class DVBSReceiver:
             # constellation side-channel (symToSoft scatter, main.cpp:515-521;
             # stacked re/im — complex fetches are unimplemented on axon)
             scat = jnp.stack([jnp.real(zc[:1024]), jnp.imag(zc[:1024])])
-            return soft.reshape(-1), new_hints, scat
+            # float16 softs halve the tunnel-limited fetch; the Viterbi
+            # branch metrics and RS chain are insensitive to the range
+            return soft.reshape(-1).astype(jnp.float16), new_hints, scat
         return front
 
     # ------------------------------------------------------------------
@@ -177,10 +183,12 @@ class DVBSReceiver:
     def process_block(self, samples: np.ndarray) -> DVBSBlockResult:
         s = np.asarray(samples)
         n = len(s)
-        ri = np.stack([s.real.astype(np.float32), s.imag.astype(np.float32)])
+        scale = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
+        sn = s / scale   # pre-normalize so float16 transport cannot clip
+        ri = np.stack([sn.real.astype(np.float16), sn.imag.astype(np.float16)])
         soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
                                               jnp.asarray(self._hints))
-        soft = np.asarray(soft_j)
+        soft = np.asarray(soft_j).astype(np.float32)
         scat = np.asarray(scat_j)
         constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
         old_nco, old_cfo = float(self._hints[1]), None

@@ -209,20 +209,9 @@ def qpsk_vv_track(payload: jax.Array, theta0: jax.Array) -> jax.Array:
     return ramp + _interp_phases(ph2, c2, P)
 
 
-def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
-                   g1: float | None = None, g2: float | None = None,
-                   group: int = 180, n_iter: int = 2) -> jax.Array:
-    """Decision-directed feed-forward phase track for any constellation.
-
-    For pilotless higher-order modes (the reference tracks these with its
-    closed-loop LUT PLL, dvbs2_pll.cpp:34-86): per group, derotate by the
-    current estimate, hard-decide the nearest constellation point, and
-    re-estimate the group phase from sum z*conj(decision); iterate.
-    Unwrap is anchored at theta0 (the header phase).
-    payload: [F, P]. Returns per-symbol phase [F, P].
-    """
-    from ..spec import constellations
-    pts = jnp.asarray(constellations.points(kind, g1, g2))
+def _dd_track_once(payload: jax.Array, theta0: jax.Array, pts: jax.Array,
+                   group: int, n_iter: int) -> jax.Array:
+    """One chained decision-directed pass; returns phase [F, P]."""
     F, P = payload.shape
     G = P // group
     z = payload[:, :G * group].reshape(F, G, group)
@@ -247,6 +236,42 @@ def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
     carry0 = theta0 + 0.0 * z[:, 0, 0].real
     _, phases = jax.lax.scan(step, carry0, z_t)
     return _interp_phases(jnp.swapaxes(phases, 0, 1), centers, P)
+
+
+def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
+                   g1: float | None = None, g2: float | None = None,
+                   group: int = 60, n_iter: int = 3,
+                   freq_refine: bool = True) -> jax.Array:
+    """Decision-directed feed-forward phase track for any constellation.
+
+    For pilotless higher-order modes (the reference tracks these with its
+    closed-loop LUT PLL, dvbs2_pll.cpp:34-86): per group, derotate by the
+    current estimate, hard-decide the nearest constellation point, and
+    re-estimate the group phase from sum z*conj(decision); iterate.
+    Unwrap is anchored at theta0 (the header phase).
+
+    With freq_refine (default), a second pass runs after removing the
+    residual carrier measured from the FIRST pass's phase trajectory
+    (median of per-group phase steps — robust to decision slips). The
+    header-only L&R estimate leaves ~1e-3 rad/symbol of frequency noise
+    in pilotless frames; the per-group phase step it causes sits near
+    the 8PSK decision region, and the refined pass buys ~5 dB of
+    pilotless 8PSK sensitivity (tests/test_dvbs2_higher_order.py).
+
+    payload: [F, P]. Returns per-symbol phase [F, P].
+    """
+    from ..spec import constellations
+    pts = jnp.asarray(constellations.points(kind, g1, g2))
+    F, P = payload.shape
+    ph1 = _dd_track_once(payload, theta0, pts, group, n_iter)
+    if not freq_refine:
+        return ph1
+    G = P // group
+    gp = ph1[:, ::group][:, :G]
+    freq = jnp.median(gp[:, 1:] - gp[:, :-1], axis=1) / group    # [F]
+    ramp = freq[:, None] * jnp.arange(P)[None, :]
+    pay2 = payload * jnp.exp(-1j * ramp).astype(payload.dtype)
+    return ramp + _dd_track_once(pay2, theta0, pts, group, n_iter)
 
 
 def pilot_anchor_phases(frames: jax.Array, cfg: modcod.ModcodConfig,

@@ -26,6 +26,9 @@ def _run(mc, snr_db, pilots):
 @pytest.mark.parametrize("mc,snr,pilots", [
     (13, 10.0, True),    # 8PSK 2/3 with pilots
     (13, 11.0, False),   # 8PSK 2/3 pilotless (decision-directed track)
+    (13, 6.0, False),    # 8PSK 2/3 pilotless near-threshold (the
+                         # freq-refined DD pass, ~5 dB under the old one)
+    (12, 6.0, False),    # 8PSK 3/5 pilotless (column-twist deint)
     (18, 13.0, True),    # 16APSK 2/3 with pilots
     (18, 14.0, False),
     (24, 17.0, True),    # 32APSK 3/4 with pilots

@@ -17,7 +17,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-BLOCK_SYMBOLS = 1 << 16
+BLOCK_SYMBOLS = 1 << 18
 
 
 def main():
