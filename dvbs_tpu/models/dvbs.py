@@ -74,6 +74,7 @@ class DVBSReceiver:
         self._fifo = np.zeros(0, np.complex64)
         self._llr_carry = np.zeros(0, np.float32)
         self._front = self._build_front()
+        self._locked_cache = {}      # (rate, rot, carry_len) -> jitted chain
         self._hints = np.array([0, 0, 0, 0, 1], np.float32)  # first=1
         self.last_consumed = 2 * block_symbols
         self.rs_avg_errors = 0.0
@@ -180,56 +181,156 @@ class DVBSReceiver:
             self.locked = False
 
     # ------------------------------------------------------------------
+    def _update_hints(self, new_hints: np.ndarray, n: int):
+        """Carry DSP state across blocks: fold whole-sample timing drift
+        into the host FIFO advance so the carried tau stays inside the
+        resampler span; NCO phase continuity accounts for the advance."""
+        old_nco = float(self._hints[1])
+        self._hints = new_hints.copy()
+        tau_end = float(self._hints[2])
+        adv = n - int(round(2.0 * tau_end))
+        self.last_consumed = adv
+        self._hints[2] = tau_end - round(2.0 * tau_end) / 2.0
+        cfo = float(self._hints[0])
+        self._hints[1] = (old_nco + cfo * adv) % (2 * np.pi)
+
+    # ------------------------------------------------------------------
+    def _get_locked_chain(self, n_samples: int):
+        """Fused device program for the locked steady state: front end ->
+        rotation -> depuncture -> segmented Viterbi -> re-encode BER ->
+        packed bits, all in one chain — the host fetches 1 bit per 2
+        softs (x32 less tunnel traffic than fetching the soft stream).
+        Keyed on (rate, rotation, carry length): the carry length is
+        constant once the stream reaches steady state, so each lock
+        compiles at most a handful of variants.
+        """
+        c = len(self._llr_carry)
+        key = (self.rate, self.rotation, c, n_samples)
+        hit = self._locked_cache.get(key)
+        if hit is not None:
+            return hit
+        px, py = dvbs_fec.PUNCTURE[self.rate]
+        p = len(px)
+        pat = np.stack([px, py], axis=1).reshape(-1).astype(bool)
+        n_kept = int(pat.sum())
+        pat_idx = np.nonzero(pat)[0]
+        m = c + n_samples                  # serial soft-stream length
+        n_use = m // n_kept * n_kept
+        periods = n_use // n_kept
+        n_pairs = periods * p
+        core, wing = 2048, 96
+        B = -(-n_pairs // core)
+        TB = min(TEST_BITS, n_pairs)
+        rot = self.rotation
+        front = self._front
+
+        @jax.jit
+        def chain(ri, hints, carry):
+            soft16, new_hints, scat = front(ri, hints)
+            s = soft16.astype(jnp.float32)
+            if rot:
+                pr = s.reshape(-1, 2)
+                s = jnp.stack([pr[:, 1], -pr[:, 0]], axis=1).reshape(-1)
+            stream = jnp.concatenate([carry, s]) if c else s
+            used = stream[:n_use].reshape(periods, n_kept)
+            dl2 = jnp.zeros((periods, 2 * p), jnp.float32)
+            dl2 = dl2.at[:, pat_idx].set(used)     # static-column scatter
+            dl = dl2.reshape(-1, 2)
+            padded = jnp.zeros((B * core + 2 * wing, 2), jnp.float32)
+            padded = padded.at[wing:wing + n_pairs].set(dl)
+            segs = jnp.stack([jax.lax.slice(
+                padded, (i * core, 0), (i * core + core + 2 * wing, 2))
+                for i in range(B)])
+            bits_seg = viterbi.decode_segments(segs)
+            bits = bits_seg[:, wing:wing + core].reshape(-1)[:n_pairs]
+            # re-encode BER over the first TB pairs (start state 0, the
+            # same approximation as the host watchdog)
+            bp = jnp.concatenate([jnp.zeros(6, bits.dtype), bits[:TB]])
+
+            def enc(poly):
+                # v = (b[i] << 6) | last-6-bits: poly bit j taps b[i-(6-j)]
+                acc = jnp.zeros(TB, jnp.int32)
+                for j in range(7):
+                    if (poly >> j) & 1:
+                        acc = acc + bp[j:j + TB].astype(jnp.int32)
+                return acc % 2
+            exy = jnp.stack([enc(dvbs_fec.G1), enc(dvbs_fec.G2)], axis=1)
+            chunk = dl[:TB]
+            maskz = chunk != 0
+            hard = (chunk < 0).astype(jnp.int32)
+            nm = jnp.sum(maskz)
+            ber = jnp.sum(jnp.where(maskz, (exy != hard).astype(jnp.int32),
+                                    0)) / jnp.maximum(nm, 1)
+            nb8 = -(-n_pairs // 8) * 8
+            bits_p = jnp.concatenate(
+                [bits, jnp.zeros(nb8 - n_pairs, bits.dtype)])
+            w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+            packed = jnp.dot(bits_p.reshape(-1, 8).astype(jnp.float32), w,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.uint8)
+            return dict(bits=packed, ber=ber, hints=new_hints, scat=scat,
+                        carry=stream[n_use:])
+
+        entry = (chain, n_pairs)
+        self._locked_cache[key] = entry
+        return entry
+
+    # ------------------------------------------------------------------
     def process_block(self, samples: np.ndarray) -> DVBSBlockResult:
         s = np.asarray(samples)
         n = len(s)
         scale = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
         sn = s / scale   # pre-normalize so float16 transport cannot clip
         ri = np.stack([sn.real.astype(np.float16), sn.imag.astype(np.float16)])
-        soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
-                                              jnp.asarray(self._hints))
-        soft = np.asarray(soft_j).astype(np.float32)
-        scat = np.asarray(scat_j)
-        constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
-        old_nco, old_cfo = float(self._hints[1]), None
-        self._hints = np.asarray(hints_j).copy()
-        # fold whole-sample timing drift into the host FIFO advance so the
-        # carried tau stays inside the resampler span
-        tau_end = float(self._hints[2])
-        adv = n - int(round(2.0 * tau_end))
-        self.last_consumed = adv
-        self._hints[2] = tau_end - round(2.0 * tau_end) / 2.0
-        # NCO phase continuity accounts for the actual advance
-        cfo = float(self._hints[0])
-        self._hints[1] = (old_nco + cfo * adv) % (2 * np.pi)
 
-        if not self.locked:
-            self._try_lock(soft)
+        if self.locked and self.drop == 0:
+            chain, n_pairs = self._get_locked_chain(n)
+            out = chain(jnp.asarray(ri), jnp.asarray(self._hints),
+                        jnp.asarray(self._llr_carry))
+            scat = np.asarray(out["scat"])
+            constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
+            self._update_hints(np.asarray(out["hints"]), n)
+            self._llr_carry = np.asarray(out["carry"]).astype(np.float32)
+            bits = np.unpackbits(np.asarray(out["bits"]))[:n_pairs]
+            self.ber = float(out["ber"])
+            soft_len = n
+        else:
+            soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
+                                                  jnp.asarray(self._hints))
+            soft = np.asarray(soft_j).astype(np.float32)
+            scat = np.asarray(scat_j)
+            constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
+            self._update_hints(np.asarray(hints_j), n)
+            soft_len = len(soft)
+
             if not self.locked:
-                return DVBSBlockResult(np.zeros((0, 188), np.uint8), self.ber,
-                                       False, None, 0.0,
-                                       self.deframer.sync_errors,
-                                       len(soft) // 2,
-                                       constellation=constellation)
+                self._try_lock(soft)
+                if not self.locked:
+                    return DVBSBlockResult(np.zeros((0, 188), np.uint8),
+                                           self.ber, False, None, 0.0,
+                                           self.deframer.sync_errors,
+                                           soft_len // 2,
+                                           constellation=constellation)
 
-        srot = self._rotate_serial(soft, self.rotation)
-        stream = np.concatenate([self._llr_carry, srot[self.drop:]]) \
-            if self.drop or len(self._llr_carry) else srot
-        self.drop = 0  # only applied once; carry keeps continuity after
-        px, py = dvbs_fec.PUNCTURE[self.rate]
-        n_kept = int(px.sum() + py.sum())
-        n_use = (len(stream) // n_kept) * n_kept
-        self._llr_carry = stream[n_use:].astype(np.float32)
-        dl = dvbs_fec.depuncture(stream[:n_use], self.rate, 0)
-        bits = viterbi.decode_stream(dl.astype(np.float32))
+            srot = self._rotate_serial(soft, self.rotation)
+            stream = np.concatenate([self._llr_carry, srot[self.drop:]]) \
+                if self.drop or len(self._llr_carry) else srot
+            self.drop = 0  # only applied once; carry keeps continuity
+            px, py = dvbs_fec.PUNCTURE[self.rate]
+            n_kept = int(px.sum() + py.sum())
+            n_use = (len(stream) // n_kept) * n_kept
+            self._llr_carry = stream[n_use:].astype(np.float32)
+            dl = dvbs_fec.depuncture(stream[:n_use], self.rate, 0)
+            bits = viterbi.decode_stream(dl.astype(np.float32))
 
-        # watchdog: re-encode BER on a sample of the block
-        re_xy = dvbs_fec.cc_encode(bits[:TEST_BITS])
-        chunk = dl[:TEST_BITS]
-        mask = chunk != 0
-        self.ber = float((re_xy[:TEST_BITS][mask] !=
-                          (chunk < 0).astype(np.uint8)[mask]).mean()) \
-            if mask.any() else 1.0
+            # watchdog: re-encode BER on a sample of the block
+            re_xy = dvbs_fec.cc_encode(bits[:TEST_BITS])
+            chunk = dl[:TEST_BITS]
+            mask = chunk != 0
+            self.ber = float((re_xy[:TEST_BITS][mask] !=
+                              (chunk < 0).astype(np.uint8)[mask]).mean()) \
+                if mask.any() else 1.0
+
         if self.ber > BER_THRESHOLD:
             self.out_of_sync += 1
             if self.out_of_sync > 20:      # reference's 20-strike rule
@@ -274,7 +375,7 @@ class DVBSReceiver:
         ts = np.concatenate(pkts) if pkts else np.zeros((0, 188), np.uint8)
         return DVBSBlockResult(ts, self.ber, self.locked, self.rate,
                                self.rs_avg_errors, self.deframer.sync_errors,
-                               len(soft) // 2, constellation=constellation)
+                               soft_len // 2, constellation=constellation)
 
 
 class DVBSStream:
