@@ -82,6 +82,8 @@ def main(argv=None):
         from .ops.resample import Channelizer
         ingest = Channelizer(args.samplerate,
                              [(args.offset, args.symbolrate)])
+    elif args.samplerate or args.symbolrate:
+        ap.error("--samplerate and --symbolrate must be given together")
     elif args.offset:
         ap.error("--offset needs --samplerate and --symbolrate")
     total_out = 0

@@ -76,6 +76,11 @@ class BBFrameParser:
         packet reassembly would silently misalign forever."""
         self.synched = False
         self.count = 0
+        # drop partial GSE reassembly: a continuation after the gap
+        # would append to a buffer with missing bytes (CRC-32 can never
+        # pass) and a new PDU reusing the frag id would concatenate
+        self.gse_active = [False] * 3
+        self.gse_buf = [bytearray() for _ in range(3)]
 
     def feed(self, frames: np.ndarray) -> bytes:
         """frames: [n, kbch/8] uint8 plaintext BBFRAMEs. Returns output

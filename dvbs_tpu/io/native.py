@@ -41,7 +41,7 @@ def available() -> bool:
         lib.tsparser_feed.restype = ctypes.c_long
         lib.tsparser_feed.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8)]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.tsparser_mark_gap.argtypes = [ctypes.c_void_p]
         globals()["_lib"] = lib
     return _lib is not None
@@ -111,6 +111,9 @@ class NativeTSParser:
     def feed(self, frames: np.ndarray) -> bytes:
         frames = np.ascontiguousarray(np.atleast_2d(frames), np.uint8)
         n = frames.shape[0]
-        out = np.empty(n * (self.kbch // 8 + 64) + 188, np.uint8)
-        w = _lib.tsparser_feed(self._h, _ptr(frames), n, _ptr(out))
+        # GSE PDUs reassembled across earlier frames can emit up to
+        # 3 slots x 64 KB beyond this call's data-field bytes
+        cap = n * (self.kbch // 8 + 64) + 3 * (1 << 16) + 188
+        out = np.empty(cap, np.uint8)
+        w = _lib.tsparser_feed(self._h, _ptr(frames), n, _ptr(out), cap)
         return out[:w].tobytes()

@@ -268,7 +268,9 @@ class DVBSReceiver:
             packed = jnp.dot(bits_p.reshape(-1, 8).astype(jnp.float32), w,
                              preferred_element_type=jnp.float32
                              ).astype(jnp.uint8)
-            return dict(bits=packed, ber=ber, hints=new_hints, scat=scat,
+            # rank-0 fetches fail on the axon backend — ship ber as [1]
+            return dict(bits=packed, ber=jnp.reshape(ber, (1,)),
+                        hints=new_hints, scat=scat,
                         carry=stream[n_use:])
 
         entry = (chain, n_pairs)
@@ -292,7 +294,7 @@ class DVBSReceiver:
             self._update_hints(np.asarray(out["hints"]), n)
             self._llr_carry = np.asarray(out["carry"]).astype(np.float32)
             bits = np.unpackbits(np.asarray(out["bits"]))[:n_pairs]
-            self.ber = float(out["ber"])
+            self.ber = float(np.asarray(out["ber"])[0])
             soft_len = n
         else:
             soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),

@@ -52,8 +52,11 @@ MSG_CLIP = 31        # message magnitude cap (posterior headroom, see kernel)
 def quantize_llrs(llr: jax.Array) -> jax.Array:
     """Float LLRs [B, N] -> int8 at the kernel's operating scale
     (rms ~ 8: strong bits ~ +-25, leaving ~4 message amplitudes of
-    posterior headroom below the int8 clip)."""
-    rms = jnp.sqrt(jnp.mean(llr.astype(jnp.float32) ** 2)) + 1e-20
+    posterior headroom below the int8 clip). The rms is PER FRAME so
+    a strong carrier in a mixed-SNR bank cannot crush the weak
+    carriers' quantization."""
+    rms = jnp.sqrt(jnp.mean(llr.astype(jnp.float32) ** 2,
+                            axis=1, keepdims=True)) + 1e-20
     return jnp.clip(jnp.round(llr * (8.0 / rms)), -127, 127
                     ).astype(jnp.int8)
 

@@ -192,14 +192,23 @@ class Channelizer:
         self._rs = [StreamingResampler(samplerate, sym, chunk_hint)
                     for (_, sym) in carriers]
 
+    _NCO_BLK = 256
+
     @functools.cached_property
     def _mix_fn(self):
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def mix(x, w, phi0, n):
-            t = jnp.arange(n)
-            return x[None, :] * jnp.exp(
-                -1j * (w[:, None] * t[None, :] + phi0[:, None])
-            ).astype(jnp.complex64)
+        @functools.partial(jax.jit, static_argnames=("nb",))
+        def mix(x, w, phi_blk, nb):
+            # split-index NCO: per-block phases arrive precomputed in
+            # float64 (reduced mod 2*pi on host), the in-block ramp
+            # w*lo stays small (< 2*pi*blk) so float32 rounding never
+            # exceeds ~1e-4 rad — a naive float32 w*t ramp drifts
+            # ~0.01 rad by the end of a 65536-sample chunk and steps at
+            # every chunk boundary
+            lo = jnp.arange(Channelizer._NCO_BLK, dtype=jnp.float32)
+            ph = phi_blk[:, :, None] + w[:, None, None] * lo[None, None, :]
+            xb = x.reshape(1, nb, Channelizer._NCO_BLK)
+            return (xb * jnp.exp(-1j * ph).astype(jnp.complex64)
+                    ).reshape(w.shape[0], nb * Channelizer._NCO_BLK)
         return mix
 
     def feed(self, x: np.ndarray) -> list[np.ndarray]:
@@ -209,12 +218,16 @@ class Channelizer:
         n = len(x)
         if n == 0:
             return [np.zeros(0, np.complex64) for _ in self._rs]
+        blk = self._NCO_BLK
+        nb = -(-n // blk)
+        xpad = np.zeros(nb * blk, np.complex64)
+        xpad[:n] = x
         w = np.array([2 * np.pi * f / self.samplerate
                       for (f, _) in self.carriers], np.float64)
-        phi0 = (w * self._n0) % (2 * np.pi)
-        mixed = np.asarray(self._mix_fn(jnp.asarray(x),
-                                        jnp.asarray(w.astype(np.float32)),
-                                        jnp.asarray(phi0.astype(np.float32)),
-                                        n))
+        t0 = self._n0 + np.arange(nb, dtype=np.float64) * blk
+        phi_blk = np.mod(w[:, None] * t0[None, :], 2 * np.pi)
+        mixed = np.asarray(self._mix_fn(
+            jnp.asarray(xpad), jnp.asarray(w.astype(np.float32)),
+            jnp.asarray(phi_blk.astype(np.float32)), nb))[:, :n]
         self._n0 += n
         return [rs.feed(mixed[c]) for c, rs in enumerate(self._rs)]

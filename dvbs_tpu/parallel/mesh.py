@@ -34,7 +34,8 @@ def build_multi_carrier(n_devices: int, carriers_per_device: int = 1,
     mesh = Mesh(devices, ("carrier",))
     rx = DVBS2Receiver(mc=mc, short=short, block_symbols=block_symbols)
     core = rx._sym_fn
-    fec = rx._fec_fn
+    fec = rx._fec2_fn or rx._fec_fn     # full trial budget (no host
+                                        # escalation inside shard_map)
     C = n_devices * carriers_per_device
     n = 2 * block_symbols
 
@@ -90,7 +91,9 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     (ops/ldpc_pallas; requires carriers*frames == 128 — size the block
     with bank_block_symbols); "xla" runs decode_qc in `fec_chunk` lane
     chunks (the VMEM-resident path, any frame total, real per-frame
-    trial counts); "auto" picks pallas iff the total is exactly 128.
+    trial counts; fec_chunk=24 measured cliff-free on hardware — 18.4 ms
+    per call, tools/profile_tpu.py — the VMEM cliff starts at B=32);
+    "auto" picks pallas iff the total is exactly 128.
 
     Returns (step_fn, example_input): step(samples_i8 [C, 2, n]) ->
     dict(kbch_bytes [C*F, kbch/8] uint8, trials [C*F], ldpc_ok [C*F],
@@ -113,8 +116,6 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                          f"(use bank_block_symbols)")
 
     vm_core = jax.jit(jax.vmap(core))
-    slice_llrs = jax.jit(
-        lambda l, lo: jax.lax.dynamic_slice(l, (lo, 0), (fec_chunk, N)))
 
     def pack_and_check(hard):
         from ..ops import bch
@@ -157,7 +158,10 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         if fec == "pallas":
             fd = fec_pallas(llrs)
         else:
-            parts = [fec_xla(slice_llrs(llrs, lo))
+            # plain slicing: the tail chunk keeps its true (smaller)
+            # size — a clamped fixed-size dynamic_slice would duplicate
+            # rows and misalign frames against quality/pls
+            parts = [fec_xla(llrs[lo:min(lo + fec_chunk, total)])
                      for lo in range(0, total, fec_chunk)]
             fd = {k: jnp.concatenate([p[k] for p in parts])
                   for k in parts[0]}

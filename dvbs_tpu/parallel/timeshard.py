@@ -51,7 +51,8 @@ def build_time_sharded(n_devices: int, mc: int = 4, short: bool = True,
                          f"(halo {halo})")
     hops = -(-halo // A)                 # neighbors the halo spans
     core = rx._sym_fn
-    fec = rx._fec_fn
+    fec = rx._fec2_fn or rx._fec_fn     # full trial budget (no host
+                                        # escalation inside shard_map)
     right = [(d, (d - 1) % n_devices) for d in range(n_devices)]
 
     def local_step(chunk):               # [1, 2, A] on each device

@@ -10,6 +10,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -296,12 +297,18 @@ void tsparser_mark_gap(void* h) {
     auto* p = static_cast<TSParser*>(h);
     p->synched = false;
     p->count = 0;
+    for (int i = 0; i < 3; i++) {       // drop partial GSE reassembly too
+        p->gse[i].active = false;
+        p->gse[i].buf.clear();
+    }
 }
 
-// frames: n * kbch_bytes plaintext BBFRAMEs. out must hold n*kbch bytes
-// (+ 4 bytes GRE overhead per PDU for GSE streams; n*kbch + 64*n is safe).
+// frames: n * kbch_bytes plaintext BBFRAMEs. Writes at most out_cap
+// bytes into out (excess output is dropped — GSE PDUs reassembled across
+// many frames can exceed n*kbch; callers size out_cap accordingly).
 // returns bytes written (188-byte TS packets or GRE-wrapped PDUs).
-long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
+long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out,
+                   long out_cap) {
     auto* p = static_cast<TSParser*>(h);
     long out_p = 0;
     std::vector<uint8_t> gre;
@@ -352,14 +359,16 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
             memcpy(p->partial + p->count, df + pos, take);
             p->count += take;
             pos += take;
-            if (p->count == 188) {
+            if (p->count == 188 && out_p + 188 <= out_cap) {
                 out[out_p++] = 0x47;
                 memcpy(out + out_p, p->partial, 187);
                 out_p += 187;
                 p->count = 0;
+            } else if (p->count == 188) {
+                p->count = 0;           // capacity exhausted: drop packet
             }
         }
-        while (df_len - pos >= 188) {
+        while (df_len - pos >= 188 && out_p + 188 <= out_cap) {
             out[out_p++] = 0x47;
             memcpy(out + out_p, df + pos, 187);
             out_p += 187;
@@ -372,8 +381,11 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out) {
         }
     }
     if (!gre.empty()) {
-        memcpy(out + out_p, gre.data(), gre.size());
-        out_p += (long)gre.size();
+        long take = std::min<long>((long)gre.size(), out_cap - out_p);
+        if (take > 0) {
+            memcpy(out + out_p, gre.data(), take);
+            out_p += take;
+        }
     }
     return out_p;
 }

@@ -101,3 +101,28 @@ def test_tsparser_native_gse_matches_python():
         out_n += nat.feed(bb[i:i + 1])
     assert len(out_p) > 0
     assert out_p == out_n
+
+
+def test_tsparser_native_gse_large_fragmented_pdu():
+    """A PDU reassembled across many BBFRAMEs (30 KB in 200-byte
+    fragments) is emitted in a single feed() call — regression for the
+    output-capacity bound (the GRE flush used to assume the output
+    never exceeds one frame's data field)."""
+    from dvbs_tpu.tx import gse_mod
+    cfg = modcod.get_config(4, short=True)
+    rng = np.random.default_rng(11)
+    pdu = rng.integers(0, 256, 30000).astype(np.uint8).tobytes()
+    # a filler frame first: the resync after initial sync acquisition
+    # enters frame 0 at its SYNCD (tail padding), so frame 0's packets
+    # are sacrificial by design
+    filler = [gse_mod.gse_packet_unfrag(b"\xAA" * 800)]
+    pkts = filler + gse_mod.gse_packets_fragmented(pdu, frag_id=1,
+                                                   chunk=200)
+    bb = scrambling.bb_scramble_bytes(
+        gse_mod.gse_to_bbframes(pkts, cfg.kbch))
+    py = BBFrameParser(cfg.kbch)
+    nat = native.NativeTSParser(cfg.kbch)
+    out_p = b"".join(py.feed(bb[i:i + 1]) for i in range(len(bb)))
+    out_n = b"".join(nat.feed(bb[i:i + 1]) for i in range(len(bb)))
+    assert out_p == out_n
+    assert pdu in out_p           # the whole PDU came through GRE-wrapped
