@@ -11,9 +11,14 @@ i+1 / compute block i / fetch+host-parse block i-1 all overlapped),
 mirroring the streaming driver's dispatch/finalize split
 (models/driver.py).
 
-Input is int8 IQ — the native cs8 SDR capture format (the reference
-ingests the same 8-bit streams via SDR++) — so the tunnel carries
-2 bytes/sample.
+Input is packed 4-bit IQ (frontend.pack_cs4, 1 byte/sample) — at the
+5 dB operating point 4-bit quantization costs ~0 extra LDPC trials
+(tests/test_carrier_bank.py), and it halves the bytes the harness's
+axon tunnel must carry vs the cs8 capture format. The JSON line also
+reports the device-resident block time (compute with input already in
+HBM): the e2e number is transport-bound by the tunnel (measured
+5-97 MB/s across sessions), which production PCIe/DMA ingest does not
+share.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -60,13 +65,13 @@ def main():
     y = channel.impair(x, snr_db=5.0, cfo=0.01 * np.pi, delay_samples=0.4,
                        sco_ppm=10.0, seed=2)
     n = 2 * BLOCK
-    rms = np.sqrt(np.mean(np.abs(y[:n]) ** 2))
-    one = np.stack([y[:n].real, y[:n].imag]) * (32.0 / rms)
-    s8 = np.clip(np.round(one), -127, 127).astype(np.int8)
-    samples = np.broadcast_to(s8, (N_CARRIERS, 2, n)).copy()
+    from dvbs_tpu.ops import frontend
+    s4 = frontend.pack_cs4(y[:n])
+    samples = np.broadcast_to(s4, (N_CARRIERS, n)).copy()
 
     step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
-                                 block_symbols=BLOCK, fec="pallas")
+                                 block_symbols=BLOCK, fec="pallas",
+                                 ingest="cs4")
     out = step(jnp.asarray(samples))            # compile + first run
     out_h = jax.device_get(out)
     assert out_h["ldpc_ok"].all(), "bench signal must decode cleanly"
@@ -97,6 +102,20 @@ def main():
     assert len(got) >= 188 * 20 and sent.find(got[:188 * 5]) >= 0, \
         "decoded TS does not match the transmitted stream"
 
+    # device-resident block time: input already in HBM, so this is the
+    # pure compute rate (what PCIe-ingest deployments sustain)
+    dev_in = jax.device_put(jnp.asarray(samples))
+    _ = step(dev_in)
+    np.asarray(jax.device_get(_["ldpc_ok"]))   # sync (axon
+    #                                            block_until_ready no-op)
+    t0 = time.time()
+    dev_reps = 5
+    for _i in range(dev_reps):
+        o = step(dev_in)
+    np.asarray(jax.device_get(o["ldpc_ok"]))
+    dev_ms = (time.time() - t0) / dev_reps * 1e3
+    dev_msps = N_CARRIERS * n / (dev_ms * 1e-3) / 1e6
+
     reps = 10
     # 3-deep pipeline: upload i+1 || compute i || fetch + host-parse i-1
     fetch_keys = ("kbch_bytes", "ldpc_ok", "bch_bad", "trials")
@@ -122,6 +141,10 @@ def main():
         "value": round(samp_per_s / 1e6, 4),
         "unit": "Msamples/s",
         "vs_baseline": round(samp_per_s / 61.4e6, 4),
+        "device_resident_msamples_per_s": round(dev_msps, 2),
+        "device_block_ms": round(dev_ms, 2),
+        "device_vs_baseline": round(dev_msps * 1e6 / 61.4e6, 4),
+        "ingest": "cs4 (1 B/sample) over the axon tunnel",
     }))
     return 0
 

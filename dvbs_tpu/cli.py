@@ -47,6 +47,14 @@ def main(argv=None):
     ap.add_argument("--udp", default=None, help="host:port UDP sink")
     ap.add_argument("--out", default=None, help="output file")
     ap.add_argument("--config", default=None, help="JSON config file")
+    ap.add_argument("--control", action="store_true",
+                    help="read runtime commands from stdin between blocks "
+                         "(the CLI equivalent of the reference's GUI menu "
+                         "+ setSymbolrate/setSamplerate, main.cpp:217-249): "
+                         "'symbolrate <hz>', 'samplerate <hz>', "
+                         "'offset <hz>', 'modcod <n> [short|normal] "
+                         "[pilots|nopilots]', 'udp <host:port>|off', "
+                         "'metrics'")
     args = ap.parse_args(argv)
 
     cfgfile = Config(args.config) if args.config else Config(autosave=False)
@@ -88,7 +96,81 @@ def main(argv=None):
         ap.error("--offset needs --samplerate and --symbolrate")
     total_out = 0
     chunk = 4 * args.block_symbols
+
+    def poll_control():
+        """Apply queued stdin commands (non-blocking). Runs between
+        blocks, mirroring the reference's ctrlMtx + tempStop/tempStart
+        reconfiguration handshake (module_dvbs2_demod.cpp:98-214)."""
+        nonlocal ingest, out_sink, emit
+        import select
+        while select.select([sys.stdin], [], [], 0)[0]:
+            line = sys.stdin.readline()
+            if not line:
+                return
+            cmd = line.split()
+            if not cmd:
+                continue
+            try:
+                if cmd[0] in ("symbolrate", "samplerate", "offset"):
+                    if ingest is None:
+                        print("control: rates need --samplerate/"
+                              "--symbolrate at startup", file=sys.stderr)
+                        continue
+                    from .ops.resample import Channelizer
+                    sr = ingest.samplerate
+                    off, sym = ingest.carriers[0]
+                    val = float(cmd[1])
+                    if cmd[0] == "symbolrate":
+                        sym = val
+                        cfgfile["dvbs2_symrate"] = val
+                    elif cmd[0] == "samplerate":
+                        sr = val
+                    else:
+                        off = val
+                    # rebuild = the reference's tap/loop-gain regen;
+                    # restart-is-reacquire semantics (SURVEY.md sec. 5)
+                    ingest = Channelizer(sr, [(off, sym)])
+                    print(f"control: rates -> samplerate={sr} "
+                          f"symbolrate={sym} offset={off}",
+                          file=sys.stderr)
+                elif cmd[0] == "modcod" and args.mode == "s2":
+                    mc_new = int(cmd[1])
+                    short_new = True if "short" in cmd else \
+                        False if "normal" in cmd else None
+                    pil_new = True if "pilots" in cmd else \
+                        False if "nopilots" in cmd else None
+                    stream.set_params(mc_new, short_new, pil_new)
+                    cfgfile["dvbs2_constellation"] = \
+                        stream.cfg.constellation
+                    cfgfile["dvbs2_coderate"] = stream.cfg.rate
+                    cfgfile["dvbs2_framesize"] = stream.cfg.framesize
+                    cfgfile["dvbs2_pilots"] = stream.cfg.pilots
+                    print(f"control: modcod -> {stream.cfg.modcod} "
+                          f"{stream.cfg.framesize} pilots="
+                          f"{stream.cfg.pilots}", file=sys.stderr)
+                elif cmd[0] == "udp":
+                    if out_sink:
+                        out_sink.close()
+                    if cmd[1] == "off":
+                        out_sink, emit = None, (lambda b: None)
+                    else:
+                        host, port = cmd[1].rsplit(":", 1)
+                        out_sink = sink.UDPSink(host, int(port))
+                        emit = (out_sink.send_raw if args.mode == "s"
+                                else out_sink.send_ts_chunked)
+                    print(f"control: udp -> {cmd[1]}", file=sys.stderr)
+                elif cmd[0] == "metrics":
+                    print(f"control: {stream.metrics}", file=sys.stderr)
+                else:
+                    print(f"control: unknown command {cmd[0]!r}",
+                          file=sys.stderr)
+            except (ValueError, IndexError) as e:
+                print(f"control: bad command {line.strip()!r}: {e}",
+                      file=sys.stderr)
+
     for i in range(0, len(samples), chunk):
+        if args.control:
+            poll_control()
         feed_in = samples[i:i + chunk]
         if ingest is not None:
             feed_in = ingest.feed(feed_in)[0]

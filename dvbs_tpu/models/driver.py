@@ -128,6 +128,19 @@ class DVBS2Stream:
                 self._next_adv = 2 * (F_L + err)
         return bytes(out)
 
+    def set_params(self, mc: int | None = None, short: bool | None = None,
+                   pilots: bool | None = None):
+        """Runtime MODCOD/framesize/pilots reconfiguration — the
+        setDemodParams path of the reference (main.cpp:245-249,
+        module_dvbs2_demod.cpp:118-168). Buffered samples are kept (the
+        next block reacquires); any in-flight dispatched block is
+        dropped, matching the reference's tempStop/tempStart handshake."""
+        self._configure(mc if mc is not None else self.cfg.modcod,
+                        short if short is not None
+                        else self.cfg.framesize == "short",
+                        pilots if pilots is not None else self.cfg.pilots)
+        self._vote.clear()
+
     def _parse_frames(self, res) -> bytes:
         """Feed the block's good BBFRAMEs to the TS/GSE parser, marking
         an explicit gap wherever a frame failed (see

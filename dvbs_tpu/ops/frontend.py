@@ -34,6 +34,28 @@ def agc(x: jax.Array) -> jax.Array:
     return x * jax.lax.rsqrt(p + 1e-12)
 
 
+def pack_cs4(samples: np.ndarray, scale: float = 2.5) -> np.ndarray:
+    """Host-side: complex baseband -> packed 4-bit IQ, 1 byte/sample
+    (I in the high nibble, Q in the low). `scale` is the target rms in
+    LSBs; 2.5 leaves ~2.8 sigma of clip headroom in the +-7 range. At
+    the 5 dB QPSK operating point, 4-bit quantization costs ~0 extra
+    LDPC trials (AGC renormalizes, so absolute scale is free) — it
+    exists to halve ingest transport bytes vs cs8."""
+    s = np.asarray(samples)
+    rms = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
+    q = np.clip(np.round(np.stack([s.real, s.imag]) * (scale / rms)),
+                -7, 7).astype(np.int64)
+    return (((q[0] & 15) << 4) | (q[1] & 15)).astype(np.uint8)
+
+
+def unpack_cs4(packed: jax.Array) -> jax.Array:
+    """Device-side inverse of pack_cs4: uint8 [..., n] -> int8
+    [..., 2, n] (stacked re/im, sign-extended 4-bit values)."""
+    hi = ((packed >> 4) ^ 8).astype(jnp.int8) - 8
+    lo = ((packed & 15) ^ 8).astype(jnp.int8) - 8
+    return jnp.stack([hi, lo], axis=-2)
+
+
 def coarse_cfo_estimate(x: jax.Array) -> jax.Array:
     """CFO in rad/sample from the lag-1 autocorrelation.
 

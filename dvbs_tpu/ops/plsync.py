@@ -30,28 +30,55 @@ def _templates():
     return sof_t, pls_t
 
 
+_CORR_BLK = 512
+
+
+@functools.lru_cache()
+def _template_matrix(blk: int) -> np.ndarray:
+    """Banded correlation matrix T [blk+89, 2*blk] float32 with
+    T[j, 2*col + t] = temp_t[j - col]; windows @ T computes both header
+    correlations for blk consecutive offsets as ONE matmul."""
+    sof_t, pls_t = _templates()
+    T = np.zeros((blk + 89, 2 * blk), np.float32)
+    for col in range(blk):
+        T[col:col + 90, 2 * col] = sof_t
+        T[col:col + 90, 2 * col + 1] = pls_t
+    return T
+
+
 def correlate(z: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Differential header correlation at every offset.
 
     z: [n] complex symbols. Returns (score [n-89] float32 in [0,~1],
     cvec [n-89] complex64 — the chosen correlation value, whose angle
     carries the residual CFO x 1 symbol).
+
+    Computed on the MXU: the differential stream is cut into
+    overlapping [blk+89] windows and multiplied by a banded +-1
+    template matrix (both templates as interleaved columns), two real
+    [nb, blk+89] @ [blk+89, 2*blk] matmuls in bf16 with f32
+    accumulation. The previous formulation (90 sliced vector adds per
+    template) was VPU/HBM-bound at ~13 ms per 131k-symbol carrier
+    block x 8 carriers; the matmul is ~5 GFLOP for the same work.
     """
     d = jnp.concatenate([jnp.zeros(1, z.dtype), z[1:] * jnp.conj(z[:-1])])
-    sof_t, pls_t = _templates()
-    # correlation as a static shift-and-add over the +-1 template signs:
-    # single-channel jnp.convolve lowers pathologically on TPU (it was
-    # 86 of the 93 ms block program); ~90 sliced vector adds are ~1 ms
-    nout = d.shape[0] - 89
-
-    def corr(temp):
-        acc = jnp.zeros(nout, d.dtype)
-        for k in np.nonzero(temp)[0]:
-            seg = jax.lax.slice(d, (int(k),), (int(k) + nout,))
-            acc = acc + float(temp[k]) * seg
-        return acc
-    csof = corr(sof_t)
-    cpls = corr(pls_t)
+    n = d.shape[0]
+    nout = n - 89
+    # blk must be >= 89 so two adjacent rows cover a full window
+    blk = min(_CORR_BLK, max(128, nout))
+    nb = -(-nout // blk)
+    dp = jnp.pad(d, (0, (nb + 1) * blk - n)) if (nb + 1) * blk > n \
+        else d[:(nb + 1) * blk]
+    a = dp.reshape(nb + 1, blk)
+    # window rows: dp[i*blk : i*blk + blk + 89] = row i || row i+1
+    w = jnp.concatenate([a[:-1], a[1:]], axis=1)[:, :blk + 89]
+    T = jnp.asarray(_template_matrix(blk), jnp.bfloat16)
+    re = jnp.dot(jnp.real(w).astype(jnp.bfloat16), T,
+                 preferred_element_type=jnp.float32).reshape(nb, blk, 2)
+    im = jnp.dot(jnp.imag(w).astype(jnp.bfloat16), T,
+                 preferred_element_type=jnp.float32).reshape(nb, blk, 2)
+    csof = (re[..., 0] + 1j * im[..., 0]).reshape(nb * blk)[:nout]
+    cpls = (re[..., 1] + 1j * im[..., 1]).reshape(nb * blk)[:nout]
     c0 = csof + cpls      # pilots-off PLS parity
     c1 = csof - cpls      # pilots-on PLS parity
     pick1 = jnp.abs(c1) > jnp.abs(c0)

@@ -76,7 +76,8 @@ def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
 
 def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                        block_symbols: int = 1 << 17, n_iters: int = 12,
-                       fec_chunk: int = 24, fec: str = "auto"):
+                       fec_chunk: int = 24, fec: str = "auto",
+                       ingest: str = "cs8"):
     """Single-device multi-carrier bank: the whole bank demodulates in one
     device program per block (vmap over the carrier axis), which amortizes
     the per-call host<->device latency — the BASELINE.json 8-carrier
@@ -84,8 +85,12 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
 
     Input is int8 IQ ([C, 2, n], the native cs8 SDR capture format —
     half the tunnel bytes of float16; the on-device AGC renormalizes).
-    The decoded kbch systematic bits are packed to bytes ON DEVICE (a
-    [8]-dot per byte) so the output fetch is 8x smaller.
+    ingest="cs4" instead takes packed 4-bit IQ ([C, n] uint8, see
+    frontend.pack_cs4) — 1 byte/sample, halving transport again at ~0
+    sensitivity cost at the 5 dB operating point; the nibbles are
+    sign-extended on device. The decoded kbch systematic bits are
+    packed to bytes ON DEVICE (a [8]-dot per byte) so the output fetch
+    is 8x smaller.
 
     fec: "pallas" decodes all lanes in one int8 B=128 kernel call
     (ops/ldpc_pallas; requires carriers*frames == 128 — size the block
@@ -115,7 +120,13 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                          f"per block, bank makes {total} "
                          f"(use bank_block_symbols)")
 
-    vm_core = jax.jit(jax.vmap(core))
+    if ingest not in ("cs8", "cs4"):
+        raise ValueError(f"unknown ingest format {ingest!r}")
+    if ingest == "cs4":
+        from ..ops import frontend
+        vm_core = jax.jit(lambda p: jax.vmap(core)(frontend.unpack_cs4(p)))
+    else:
+        vm_core = jax.jit(jax.vmap(core))
 
     def pack_and_check(hard):
         from ..ops import bch
@@ -168,5 +179,8 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         fd.update(quality=out["quality"], pls=out["pls"])
         return fd
 
-    example = np.zeros((n_carriers, 2, 2 * block_symbols), np.int8)
+    if ingest == "cs4":
+        example = np.zeros((n_carriers, 2 * block_symbols), np.uint8)
+    else:
+        example = np.zeros((n_carriers, 2, 2 * block_symbols), np.int8)
     return step, example

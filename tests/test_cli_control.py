@@ -1,0 +1,84 @@
+"""CLI runtime-control surface (--control): the stdin equivalent of the
+reference's GUI menu + setSymbolrate/setSamplerate (main.cpp:217-249).
+"""
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from dvbs_tpu.spec import modcod
+from dvbs_tpu.tx import dvbs2_mod, channel
+from dvbs_tpu import cli
+
+
+@pytest.fixture()
+def capture(tmp_path):
+    """Short-frame S2 capture at 2.7 samples/symbol with +0.2 offset."""
+    cfg = modcod.get_config(4, short=True)
+    pkts = dvbs2_mod.random_ts_packets(120, seed=5)
+    bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
+    tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
+    x = channel.shape(tx, sps=27)[::10]          # 2.7 sps
+    t = np.arange(len(x))
+    x = (x * np.exp(2j * np.pi * (0.2 / 2.7) * t)).astype(np.complex64)
+    x = channel.impair(x, snr_db=12.0, seed=6)
+    path = tmp_path / "cap.cf32"
+    x.astype(np.complex64).tofile(path)
+    return str(path), pkts.tobytes()
+
+
+def _stdin_with(monkeypatch, text: str):
+    """Real-fd stdin replacement (select() needs an actual pipe)."""
+    r, w = os.pipe()
+    os.write(w, text.encode())
+    os.close(w)
+    monkeypatch.setattr(sys, "stdin", os.fdopen(r, "r"))
+
+
+def test_control_commands_apply_and_decode(tmp_path, capture, monkeypatch):
+    path, sent = capture
+    out = tmp_path / "out.ts"
+    # a benign rate re-command (same values: channelizer rebuild path),
+    # a metrics dump, and an unknown command (error path)
+    _stdin_with(monkeypatch, "metrics\nsymbolrate 1.0\nbogus\n")
+    rc = cli.main(["--iq", path, "--mode", "s2", "--modcod", "4",
+                   "--framesize", "short", "--samplerate", "2.7",
+                   "--symbolrate", "1.0", "--offset", "0.2",
+                   "--block-symbols", str(1 << 15),
+                   "--out", str(out), "--control"])
+    assert rc == 0
+    data = out.read_bytes()
+    assert len(data) >= 188 * 10
+    for lo in range(0, len(data) - 187, 188):
+        assert data[lo:lo + 188] in sent
+
+
+def test_control_modcod_switch(tmp_path, capture, monkeypatch):
+    """A runtime 'modcod' command reconfigures the stream (wrong modcod
+    -> nothing decodes; the command is consumed before the first block)."""
+    path, _ = capture
+    out = tmp_path / "out.ts"
+    _stdin_with(monkeypatch, "modcod 12 short nopilots\n")
+    rc = cli.main(["--iq", path, "--mode", "s2", "--modcod", "4",
+                   "--framesize", "short", "--samplerate", "2.7",
+                   "--symbolrate", "1.0", "--offset", "0.2",
+                   "--block-symbols", str(1 << 15),
+                   "--out", str(out), "--control"])
+    assert rc == 0
+    assert out.read_bytes() == b""   # 8PSK 3/5 config cannot decode QPSK
+
+
+def test_set_params_public_api():
+    from dvbs_tpu.models.driver import DVBS2Stream
+    s = DVBS2Stream(mc=4, short=True, block_symbols=1 << 15)
+    s.set_params(mc=12)
+    assert s.cfg.modcod == 12 and s.cfg.framesize == "short"
+    s.set_params(pilots=True)
+    assert s.cfg.modcod == 12 and s.cfg.framesize == "short"
+    assert s.cfg.pilots
+    # a framesize the block cannot hold is rejected cleanly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.set_params(short=False)
