@@ -17,7 +17,9 @@ import numpy as np
 sys.path.insert(0, ".")
 
 N_CARRIERS = 8
-BLOCK = 1 << 17
+# per-carrier block symbols; pass an int argv[1] to profile at another
+# scale (e.g. the bench's bank_block_symbols(8) ~ 566k)
+BLOCK = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
 
 
 def sync(x):
