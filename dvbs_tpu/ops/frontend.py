@@ -219,27 +219,30 @@ def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
     i0 = jnp.floor(t).astype(jnp.int32)
     mu = t - i0
     ph = jnp.clip(jnp.round(mu * n_phases).astype(jnp.int32), 0, n_phases - 1)
-    # window sample j sits at y-index 2k + (c + j - (n_taps//2 - 1)) with
-    # candidate c = i0 - 2k in [SP-1, 3*SP+1] (clip for safety)
+    # tap j of output k sits at y-index 2k + (c + j) with candidate
+    # c = i0 - (n_taps/2-1) - 2k in [c_lo, c_hi] (clip for safety)
     c_lo = SP - 1 - (n_taps // 2 - 1)
     c_hi = 3 * SP + 1 - (n_taps // 2 - 1)
+    nc = c_hi - c_lo + 1
     base = jnp.clip(i0 - (n_taps // 2 - 1) - 2 * k, c_lo, c_hi)
-    onehot = base[:, None] == jnp.arange(c_lo, c_hi + 1)[None, :]
-    win = []
-    for j in range(n_taps):
-        acc = jnp.zeros(S, y.dtype)
-        for ci, c in enumerate(range(c_lo, c_hi + 1)):
-            idx = c + j
-            src = ye[idx // 2: idx // 2 + S] if idx % 2 == 0 else \
-                yo[idx // 2: idx // 2 + S]
-            acc = acc + jnp.where(onehot[:, ci], src, 0.0)
-        win.append(acc)
+    onehot = (base[:, None] ==
+              jnp.arange(c_lo, c_hi + 1)[None, :]).astype(jnp.float32)
     bank = jnp.asarray(interp_bank(n_phases, n_taps))  # [128, 8]
     ph1h = (ph[:, None] == jnp.arange(n_phases)[None, :]).astype(jnp.float32)
     taps = jnp.dot(ph1h, bank, preferred_element_type=jnp.float32)  # [S, 8]
-    out = jnp.zeros(S, y.dtype)
+    # fold the select INTO the coefficients: out[k] = sum_m y[2k+m] *
+    # C[k, m] with C[k, m] = taps[k, m - base[k]] (8 nonzeros per row) —
+    # nc + n_taps - 1 shifted MACs instead of nc * n_taps select-adds
+    # (the old per-(c, j) one-hot select was ~4x the vector-op count,
+    # the bulk of the timing-recovery stage's device time)
+    C = jnp.zeros((S, nc + n_taps - 1), jnp.float32)
     for j in range(n_taps):
-        out = out + win[j] * taps[:, j]
+        C = C.at[:, j:j + nc].add(onehot * taps[:, j:j + 1])
+    out = jnp.zeros(S, y.dtype)
+    for mi, m in enumerate(range(c_lo, c_hi + n_taps)):
+        src = ye[m // 2: m // 2 + S] if m % 2 == 0 else \
+            yo[m // 2: m // 2 + S]
+        out = out + src * C[:, mi]
     return out.astype(jnp.complex64)
 
 
