@@ -96,17 +96,49 @@ def mix(x: jax.Array, freq: jax.Array, phase: jax.Array = 0.0) -> jax.Array:
     return x * jnp.exp(-1j * (freq * n + phase)).astype(x.dtype)
 
 
+_FIR_BLK = 256
+
+
+@functools.lru_cache()
+def _fir_matrix(taps_key, blk: int) -> np.ndarray:
+    """Banded FIR matrix T [blk+K-1, blk] with T[j, col] = taps[j-col]:
+    windows @ T evaluates the centered FIR for blk consecutive outputs
+    as one matmul (same MXU trick as plsync._template_matrix)."""
+    taps = np.asarray(taps_key, np.float32)
+    K = len(taps)
+    T = np.zeros((blk + K - 1, blk), np.float32)
+    for col in range(blk):
+        T[col:col + K, col] = taps
+    return T
+
+
 def fir_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
     """Centered FIR ('same' length). Complex in, real taps.
 
-    Implemented as static shift-and-add (taps are compile-time constants):
-    single-channel 1-D convolution lowers terribly on TPU, while K shifted
-    multiply-adds over the full block vectorize perfectly on the VPU.
+    Long filters on long blocks run on the MXU: overlapping [blk+K-1]
+    windows of the padded input times a banded tap matrix, two f32
+    matmuls (HIGHEST precision — the matched filter feeds low-SNR soft
+    demap). Short filters/blocks use static shift-and-add (single-
+    channel 1-D convolution lowers terribly on TPU; K shifted
+    multiply-adds vectorize on the VPU but cost K full passes).
     """
     taps = np.asarray(taps, np.float32)
     K = len(taps)
     n = x.shape[-1]
     half = K // 2
+    blk = _FIR_BLK
+    if K >= 16 and n >= 4 * blk and K - 1 <= blk:
+        nb = -(-n // blk)
+        xp = jnp.pad(x, (half, (nb + 1) * blk - n - half))
+        a = xp.reshape(nb + 1, blk)
+        w = jnp.concatenate([a[:-1], a[1:]], axis=1)[:, :blk + K - 1]
+        T = jnp.asarray(_fir_matrix(tuple(taps.tolist()), blk))
+        dot = functools.partial(jnp.dot,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        re = dot(jnp.real(w), T).reshape(nb * blk)[:n]
+        im = dot(jnp.imag(w), T).reshape(nb * blk)[:n]
+        return (re + 1j * im).astype(jnp.complex64)
     xp = jnp.pad(x, (half, K - 1 - half))
     acc = jnp.zeros(n, x.dtype)
     for j, h in enumerate(taps.tolist()):
