@@ -35,6 +35,16 @@ def main(argv=None):
     ap.add_argument("--offset", type=float, default=0.0,
                     help="carrier offset in Hz within the capture "
                          "(mixed to baseband before resampling)")
+    ap.add_argument("--carrier", action="append", default=None,
+                    metavar="OFF:SYM",
+                    help="demodulate an ADDITIONAL carrier from the "
+                         "wideband capture (repeatable; needs "
+                         "--samplerate/--symbolrate). Each extra "
+                         "carrier gets its own receiver; file outputs "
+                         "are suffixed .cN, UDP ports increment. The "
+                         "reference needs one plugin instance per "
+                         "carrier (main.cpp:30); here the channelizer "
+                         "bank feeds N streams in one process")
     ap.add_argument("--mode", default="s2", choices=["s", "s2"])
     ap.add_argument("--modcod", type=int, default=None,
                     help="DVB-S2 MODCOD number 1-28")
@@ -64,32 +74,47 @@ def main(argv=None):
     short = (args.framesize or cfgfile["dvbs2_framesize"]) == "short"
     pilots = args.pilots or cfgfile["dvbs2_pilots"]
 
-    if args.udp:
-        host, port = args.udp.rsplit(":", 1)
-        out_sink = sink.UDPSink(host, int(port))
-    elif args.out:
-        out_sink = sink.FileSink(args.out)
-    else:
-        out_sink = None
+    carriers = [(args.offset, args.symbolrate)]
+    if args.carrier:
+        if not (args.samplerate and args.symbolrate):
+            ap.error("--carrier needs --samplerate and --symbolrate")
+        for spec in args.carrier:
+            off_s, sym_s = spec.split(":")
+            carriers.append((float(off_s), float(sym_s)))
+    C = len(carriers)
 
-    if args.mode == "s":
-        from .models.dvbs import DVBSStream
-        stream = DVBSStream(block_symbols=args.block_symbols)
-        emit = (lambda b: out_sink.send_raw(b)) if out_sink else (lambda b: None)
-    else:
-        stream = DVBS2Stream(mc=mc, short=short, pilots=pilots,
-                             block_symbols=args.block_symbols,
-                             auto_modcod=args.auto_modcod,
-                             max_ldpc_trials=args.ldpc_trials)
-        emit = (lambda b: out_sink.send_ts_chunked(b)) if out_sink \
-            else (lambda b: None)
+    def make_sink(ci):
+        if args.udp:
+            host, port = args.udp.rsplit(":", 1)
+            return sink.UDPSink(host, int(port) + ci)
+        if args.out:
+            return sink.FileSink(args.out + (f".c{ci}" if ci else ""))
+        return None
+
+    def make_stream():
+        if args.mode == "s":
+            from .models.dvbs import DVBSStream
+            return DVBSStream(block_symbols=args.block_symbols)
+        return DVBS2Stream(mc=mc, short=short, pilots=pilots,
+                           block_symbols=args.block_symbols,
+                           auto_modcod=args.auto_modcod,
+                           max_ldpc_trials=args.ldpc_trials)
+
+    def make_emit(snk):
+        if snk is None:
+            return lambda b: None
+        return snk.send_raw if args.mode == "s" else snk.send_ts_chunked
+
+    streams = [make_stream() for _ in range(C)]
+    sinks = [make_sink(ci) for ci in range(C)]
+    emits = [make_emit(s) for s in sinks]
+    stream, out_sink, emit = streams[0], sinks[0], emits[0]
 
     samples = source.read_iq_file(args.iq, args.format)
     ingest = None
     if args.samplerate and args.symbolrate:
         from .ops.resample import Channelizer
-        ingest = Channelizer(args.samplerate,
-                             [(args.offset, args.symbolrate)])
+        ingest = Channelizer(args.samplerate, carriers)
     elif args.samplerate or args.symbolrate:
         ap.error("--samplerate and --symbolrate must be given together")
     elif args.offset:
@@ -128,8 +153,11 @@ def main(argv=None):
                     else:
                         off = val
                     # rebuild = the reference's tap/loop-gain regen;
-                    # restart-is-reacquire semantics (SURVEY.md sec. 5)
-                    ingest = Channelizer(sr, [(off, sym)])
+                    # restart-is-reacquire semantics (SURVEY.md sec. 5);
+                    # rate commands address the PRIMARY carrier, extra
+                    # --carrier entries are preserved
+                    ingest = Channelizer(sr, [(off, sym)] +
+                                         list(ingest.carriers[1:]))
                     print(f"control: rates -> samplerate={sr} "
                           f"symbolrate={sym} offset={off}",
                           file=sys.stderr)
@@ -158,6 +186,7 @@ def main(argv=None):
                         out_sink = sink.UDPSink(host, int(port))
                         emit = (out_sink.send_raw if args.mode == "s"
                                 else out_sink.send_ts_chunked)
+                    sinks[0], emits[0] = out_sink, emit
                     print(f"control: udp -> {cmd[1]}", file=sys.stderr)
                 elif cmd[0] == "metrics":
                     print(f"control: {stream.metrics}", file=sys.stderr)
@@ -171,12 +200,18 @@ def main(argv=None):
     for i in range(0, len(samples), chunk):
         if args.control:
             poll_control()
-        feed_in = samples[i:i + chunk]
-        if ingest is not None:
-            feed_in = ingest.feed(feed_in)[0]
-        data = stream.feed(feed_in)
+        base = samples[i:i + chunk]
+        per = ingest.feed(base) if ingest is not None else [base]
+        data = stream.feed(per[0])
         total_out += len(data)
-        emit(data)
+        emits[0](data)
+        for ci in range(1, C):
+            d = streams[ci].feed(per[ci])
+            total_out += len(d)
+            emits[ci](d)
+            mm = streams[ci].metrics
+            print(f"  [c{ci}] out+={len(d)}B "
+                  f"ok={mm.frames_ok}/{mm.frames_seen}", file=sys.stderr)
         m = stream.metrics
         if args.mode == "s":
             # DVB-S metric set (module_dvbs_demod.cpp:101-115)
@@ -192,8 +227,10 @@ def main(argv=None):
                   f"ldpc_trials={m.ldpc_trials} bch_q={m.bch_quality:.1f} "
                   f"modcod={m.detected_modcod} "
                   f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
-    if out_sink:
-        out_sink.close()
+    sinks[0] = out_sink       # control may have swapped carrier 0's sink
+    for snk in sinks:
+        if snk:
+            snk.close()
     print(f"done: {total_out} bytes", file=sys.stderr)
     return 0
 
