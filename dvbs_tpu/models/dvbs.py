@@ -278,60 +278,91 @@ class DVBSReceiver:
         return entry
 
     # ------------------------------------------------------------------
+    # Locked-path pipelining: dispatch (async device chain) / fetch
+    # (device outputs -> DSP state update) / host tail (deframe, RS) are
+    # split so DVBSStream can run the host tail of block i while the
+    # device computes block i+1 — the S2 driver's dispatch/finalize
+    # overlap (models/driver.py), which the reference gets from its
+    # per-Processor threads (module_dvbs_demod.h:32-44).
+    def dispatch_locked(self, samples: np.ndarray):
+        """Async-dispatch one locked block. Requires self.locked and
+        drop == 0. Returns an opaque ctx for fetch_locked."""
+        s = np.asarray(samples)
+        n = len(s)
+        scale = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
+        sn = s / scale
+        ri = np.stack([sn.real.astype(np.float16),
+                       sn.imag.astype(np.float16)])
+        chain, n_pairs = self._get_locked_chain(n)
+        out = chain(jnp.asarray(ri), jnp.asarray(self._hints),
+                    jnp.asarray(self._llr_carry))
+        return dict(out=out, n=n, n_pairs=n_pairs)
+
+    def fetch_locked(self, ctx):
+        """Fetch a dispatched block's outputs and update the DSP state
+        (hints/carry/BER watchdog). Returns (bits, constellation, n)."""
+        out = jax.device_get(ctx["out"])   # one batched fetch
+        scat = np.asarray(out["scat"])
+        constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
+        self._update_hints(np.asarray(out["hints"]), ctx["n"])
+        self._llr_carry = np.asarray(out["carry"]).astype(np.float32)
+        bits = np.unpackbits(np.asarray(out["bits"]))[:ctx["n_pairs"]]
+        self.ber = float(np.asarray(out["ber"])[0])
+        if self.ber > BER_THRESHOLD:
+            self.out_of_sync += 1
+            if self.out_of_sync > 20:      # reference's 20-strike rule
+                self.locked = False
+        else:
+            self.out_of_sync = 0
+        return bits, constellation, ctx["n"]
+
     def process_block(self, samples: np.ndarray) -> DVBSBlockResult:
+        if self.locked and self.drop == 0:
+            bits, constellation, n = self.fetch_locked(
+                self.dispatch_locked(samples))
+            return self._host_tail(bits, constellation, n // 2)
+
         s = np.asarray(samples)
         n = len(s)
         scale = np.sqrt(np.mean(np.abs(s) ** 2)) + 1e-30
         sn = s / scale   # pre-normalize so float16 transport cannot clip
         ri = np.stack([sn.real.astype(np.float16), sn.imag.astype(np.float16)])
 
-        if self.locked and self.drop == 0:
-            chain, n_pairs = self._get_locked_chain(n)
-            out = chain(jnp.asarray(ri), jnp.asarray(self._hints),
-                        jnp.asarray(self._llr_carry))
-            scat = np.asarray(out["scat"])
-            constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
-            self._update_hints(np.asarray(out["hints"]), n)
-            self._llr_carry = np.asarray(out["carry"]).astype(np.float32)
-            bits = np.unpackbits(np.asarray(out["bits"]))[:n_pairs]
-            self.ber = float(np.asarray(out["ber"])[0])
-            soft_len = n
-        else:
-            soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
-                                                  jnp.asarray(self._hints))
-            soft = np.asarray(soft_j).astype(np.float32)
-            scat = np.asarray(scat_j)
-            constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
-            self._update_hints(np.asarray(hints_j), n)
-            soft_len = len(soft)
+        soft_j, hints_j, scat_j = self._front(jnp.asarray(ri),
+                                              jnp.asarray(self._hints))
+        soft = np.asarray(soft_j).astype(np.float32)
+        scat = np.asarray(scat_j)
+        constellation = (scat[0] + 1j * scat[1]).astype(np.complex64)
+        self._update_hints(np.asarray(hints_j), n)
+        soft_len = len(soft)
 
+        if not self.locked:
+            self._try_lock(soft)
             if not self.locked:
-                self._try_lock(soft)
-                if not self.locked:
-                    return DVBSBlockResult(np.zeros((0, 188), np.uint8),
-                                           self.ber, False, None, 0.0,
-                                           self.deframer.sync_errors,
-                                           soft_len // 2,
-                                           constellation=constellation)
+                return DVBSBlockResult(np.zeros((0, 188), np.uint8),
+                                       self.ber, False, None, 0.0,
+                                       self.deframer.sync_errors,
+                                       soft_len // 2,
+                                       constellation=constellation)
 
-            srot = self._rotate_serial(soft, self.rotation)
-            stream = np.concatenate([self._llr_carry, srot[self.drop:]]) \
-                if self.drop or len(self._llr_carry) else srot
-            self.drop = 0  # only applied once; carry keeps continuity
-            px, py = dvbs_fec.PUNCTURE[self.rate]
-            n_kept = int(px.sum() + py.sum())
-            n_use = (len(stream) // n_kept) * n_kept
-            self._llr_carry = stream[n_use:].astype(np.float32)
-            dl = dvbs_fec.depuncture(stream[:n_use], self.rate, 0)
-            bits = viterbi.decode_stream(dl.astype(np.float32))
+        srot = self._rotate_serial(soft, self.rotation)
+        stream = np.concatenate([self._llr_carry, srot[self.drop:]]) \
+            if self.drop or len(self._llr_carry) else srot
+        self.drop = 0  # only applied once; carry keeps continuity
+        px, py = dvbs_fec.PUNCTURE[self.rate]
+        n_kept = int(px.sum() + py.sum())
+        n_use = (len(stream) // n_kept) * n_kept
+        self._llr_carry = stream[n_use:].astype(np.float32)
+        dl = dvbs_fec.depuncture(stream[:n_use], self.rate, 0)
+        bits = viterbi.decode_stream(dl.astype(np.float32))
 
-            # watchdog: re-encode BER on a sample of the block
-            re_xy = dvbs_fec.cc_encode(bits[:TEST_BITS])
-            chunk = dl[:TEST_BITS]
-            mask = chunk != 0
-            self.ber = float((re_xy[:TEST_BITS][mask] !=
-                              (chunk < 0).astype(np.uint8)[mask]).mean()) \
-                if mask.any() else 1.0
+        # watchdog: re-encode BER on a sample of the block
+        re_xy = dvbs_fec.cc_encode(bits[:TEST_BITS])
+        chunk = dl[:TEST_BITS]
+        mask = chunk != 0
+        self.ber = float((re_xy[:TEST_BITS][mask] !=
+                          (chunk < 0).astype(np.uint8)[mask]).mean()) \
+            if mask.any() else 1.0
 
         if self.ber > BER_THRESHOLD:
             self.out_of_sync += 1
@@ -339,7 +370,11 @@ class DVBSReceiver:
                 self.locked = False
         else:
             self.out_of_sync = 0
+        return self._host_tail(bits, constellation, soft_len // 2)
 
+    def _host_tail(self, bits: np.ndarray, constellation, n_symbols: int
+                   ) -> DVBSBlockResult:
+        """Pure host: deframe -> deinterleave -> RS -> descramble."""
         frames = self.deframer.feed(bits)
         pkts = []
         rs_errs = []
@@ -377,7 +412,7 @@ class DVBSReceiver:
         ts = np.concatenate(pkts) if pkts else np.zeros((0, 188), np.uint8)
         return DVBSBlockResult(ts, self.ber, self.locked, self.rate,
                                self.rs_avg_errors, self.deframer.sync_errors,
-                               soft_len // 2, constellation=constellation)
+                               n_symbols, constellation=constellation)
 
 
 class DVBSStream:
@@ -404,13 +439,32 @@ class DVBSStream:
         m.frames_seen = 0
 
     def feed(self, samples: np.ndarray) -> bytes:
+        """Pipelined: once locked, block i+1 is dispatched to the device
+        before block i's host tail (deframe/deinterleave/RS) runs, so
+        host FEC overlaps device compute — the same overlap the S2
+        driver gets from its dispatch/finalize split."""
         self._fifo = np.concatenate([self._fifo,
                                      np.asarray(samples, np.complex64)])
         out = bytearray()
         n = 2 * self.block_symbols
-        while len(self._fifo) >= n:
-            res = self.rx.process_block(self._fifo[:n])
-            self._fifo = self._fifo[self.rx.last_consumed:]
+        pending = None
+        while True:
+            if pending is not None:
+                bits, const, nn = self.rx.fetch_locked(pending)
+                self._fifo = self._fifo[self.rx.last_consumed:]
+                pending = None
+                if self.rx.locked and self.rx.drop == 0 and \
+                        len(self._fifo) >= n:
+                    pending = self.rx.dispatch_locked(self._fifo[:n])
+                res = self.rx._host_tail(bits, const, nn // 2)
+            elif len(self._fifo) >= n:
+                if self.rx.locked and self.rx.drop == 0:
+                    pending = self.rx.dispatch_locked(self._fifo[:n])
+                    continue
+                res = self.rx.process_block(self._fifo[:n])
+                self._fifo = self._fifo[self.rx.last_consumed:]
+            else:
+                break
             out.extend(res.ts_packets.reshape(-1).tobytes())
             m = self.metrics
             m.viterbi_ber = float(res.viterbi_ber)
