@@ -1,0 +1,89 @@
+"""Equivalence tests for the MXU-matmul formulations of the front-end
+ops (plsync.correlate, frontend.fir_filter, frontend.resample_half_grid)
+against brute-force/naive golden implementations — these ops were
+rewritten from shift-and-add / one-hot-select forms for TPU throughput
+and must stay numerically faithful."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dvbs_tpu.ops import frontend, plsync
+from dvbs_tpu.spec import plheader
+from dvbs_tpu.tx.channel import rrc_taps
+
+
+def test_correlate_matches_shift_and_add():
+    rng = np.random.default_rng(0)
+    sof_t, pls_t = plheader.header_diff_templates()
+    for n in (97, 512, 601, 2048):
+        z = (rng.normal(size=n) + 1j * rng.normal(size=n)
+             ).astype(np.complex64)
+        score, c = jax.jit(plsync.correlate)(jnp.asarray(z))
+        d = np.concatenate([[0], z[1:] * np.conj(z[:-1])]
+                           ).astype(np.complex128)
+        nout = n - 89
+
+        def corr(t):
+            acc = np.zeros(nout, np.complex128)
+            for k in np.nonzero(t)[0]:
+                acc += t[k] * d[k:k + nout]
+            return acc
+
+        c0 = corr(sof_t) + corr(pls_t)
+        c1 = corr(sof_t) - corr(pls_t)
+        # where |c0| ~ |c1| the pick can flip on bf16 rounding; both
+        # are valid detection statistics, so compare against either
+        err = np.minimum(np.abs(np.asarray(c) - c0 / 57.0),
+                         np.abs(np.asarray(c) - c1 / 57.0))
+        assert c.shape == (nout,)
+        assert err.max() < 0.02
+        sg = np.maximum(np.abs(c0), np.abs(c1)) / 57.0
+        assert np.abs(np.asarray(score) - sg).max() < 0.02
+
+
+def test_fir_filter_mxu_matches_shift_and_add():
+    rng = np.random.default_rng(1)
+
+    def old_fir(x, taps):
+        taps = np.asarray(taps, np.float32)
+        K = len(taps)
+        n = x.shape[-1]
+        half = K // 2
+        xp = jnp.pad(x, (half, K - 1 - half))
+        acc = jnp.zeros(n, x.dtype)
+        for j, h in enumerate(taps.tolist()):
+            if h != 0.0:
+                acc = acc + h * xp[j:j + n]
+        return acc.astype(jnp.complex64)
+
+    for n, K in ((5000, 65), (4096, 65), (1 << 14, 47), (777, 65)):
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)
+             ).astype(np.complex64)
+        taps = rrc_taps(K, 0.35, 2.0)
+        new = np.asarray(jax.jit(
+            lambda a, t=taps: frontend.fir_filter(a, t))(jnp.asarray(x)))
+        old = np.asarray(jax.jit(
+            lambda a, t=taps: old_fir(a, t))(jnp.asarray(x)))
+        assert np.abs(new - old).max() < 2e-5
+
+
+def test_resample_half_grid_matches_brute_force():
+    rng = np.random.default_rng(2)
+    S = 384
+    SP = frontend._RESAMPLE_SPAN
+    y = (rng.normal(size=2 * S + 6 * SP + 32) +
+         1j * rng.normal(size=2 * S + 6 * SP + 32)).astype(np.complex64)
+    drift = SP + 2 * SP * np.linspace(0.1, 0.9, S) + \
+        0.3 * np.sin(np.arange(S) * 0.01)
+    t = (2 * np.arange(S) + drift).astype(np.float32)
+    out = np.asarray(frontend.resample_half_grid(
+        jnp.asarray(y), jnp.asarray(t), S))
+    bank = frontend.interp_bank(128, 8)
+    g = np.zeros(S, np.complex64)
+    for k in range(S):
+        i0 = int(np.floor(t[k]))
+        mu = t[k] - i0
+        ph = min(int(round(mu * 128)), 127)
+        idx = i0 - 3 + np.arange(8)
+        g[k] = (y[idx] * bank[ph]).sum()
+    assert np.abs(out - g).max() < 2e-5
