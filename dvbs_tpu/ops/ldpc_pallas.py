@@ -25,9 +25,12 @@ vector comparisons) with saturation to int8 on store — the same numeric
 family as the reference's int8 SIMD decoder
 (dvbs2/codings/xdsopl-ldpc-pabr/, generic.hh SIMD ops).
 
-Fixed sweep count (no early exit — see ldpc_qc.py's note); real
-per-frame trial counts come from the caller's two-pass escalation
-(models/dvbs2.py) or from decode_qc.
+Each sweep also emits the per-frame ONLINE syndrome count (parity of
+the posterior signs over every check row, accumulated in-kernel at
+~zero cost), which gives real per-frame trials-to-converge and lets
+the sweep loop exit early once the whole batch is clean — the
+reference's `while bad() && trials--` semantics
+(layered_decoder.hh:121-133) at batch granularity.
 """
 from __future__ import annotations
 
@@ -91,7 +94,7 @@ def kernel_tables(table: str):
 
 
 def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
-            vstash, roll_buf, *, Dmax, beta, n_rows):
+            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows):
     # one pallas_call = ONE layered sweep; grid is the layer index only.
     # Messages are read once and written once per sweep, so the sweep is
     # purely functional (msgs_in -> msgs_out) and sweeps chain as
@@ -143,6 +146,11 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         return roll_buf[pl.ds(start, PAD), :]
 
     # ---- pass 1: variable-to-check values, running two-min ------------
+    # pxor additionally accumulates the parity of the POSTERIOR signs
+    # (the hard decisions) over the check row — the online per-layer
+    # syndrome that gives each sweep's unsatisfied-check count per frame
+    # (the reference's bad() gate, layered_decoder.hh:121-133; "online"
+    # because later layers see posteriors already updated this sweep)
     def entry_a_neg(e):
         g = g_ref[r, e]
         s = s_ref[r, e]
@@ -154,28 +162,42 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         vstash[e] = v
         a = jnp.abs(v)
         neg = (v < 0).astype(jnp.int32)
+        pneg = (rolled < 0).astype(jnp.int32)
         masked = (fl & F_MASK0) != 0
         a = jnp.where(masked & row0, big, a)
         neg = jnp.where(masked & row0, jnp.int32(0), neg)
+        pneg = jnp.where(masked & row0, jnp.int32(0), pneg)
         invalid = (fl & F_VALID) == 0
         a = jnp.where(invalid, big, a)
         neg = jnp.where(invalid, jnp.int32(0), neg)
-        return a, neg
+        pneg = jnp.where(invalid, jnp.int32(0), pneg)
+        return a, neg, pneg
 
     # entry 0 seeds the running mins (data-tied initial state: Mosaic
     # cannot relayout a comparison against replicated constants)
-    a0, neg0 = entry_a_neg(0)
+    a0, neg0, pxor = entry_a_neg(0)
     m1 = a0
     m2 = big + 0 * a0
     am = (0 * a0).astype(jnp.int32)
     par = neg0
     for e in range(1, Dmax):
-        a, neg = entry_a_neg(e)
+        a, neg, pneg = entry_a_neg(e)
         isnew = a < m1
         m2 = jnp.where(isnew, m1, jnp.minimum(m2, a))
         m1 = jnp.where(isnew, a, m1)
         am = jnp.where(isnew, e, am)
         par = par ^ neg
+        pxor = pxor ^ pneg
+
+    # unsatisfied checks this layer (rows 360:383 are padding)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (PAD, B), 0) < 360
+    layer_bad = jnp.sum(jnp.where(rowv, pxor, 0), axis=0,
+                        keepdims=True)                       # [1, B]
+
+    @pl.when(r == 0)
+    def _():
+        bad_out[:, :] = 0 * layer_bad
+    bad_out[:, :] = bad_out[:, :] + layer_bad
 
     ib = jnp.int32(beta)
 
@@ -220,13 +242,22 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
 
 
 @functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
-                                             "interpret"))
+                                             "interpret", "early_exit"))
 def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
-                     beta: int = 1, interpret: bool = False):
+                     beta: int = 1, interpret: bool = False,
+                     early_exit: bool = True):
     """Layered OMS decode of B=128 frames in one Pallas kernel.
 
     llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
-    Returns (hard [128, N] uint8, n_bad_checks [128] int32).
+    Returns (hard [128, N] uint8, n_bad_checks [128] int32,
+    trials [128] int32 — the sweep at which each frame's online
+    syndrome first read zero, n_iters if never, mirroring the
+    reference's trials-used-or-max metric, bbframe_ldpc.cpp:123-139).
+
+    early_exit=True runs sweeps in a while_loop that stops once every
+    frame's online syndrome is clean (the whole batch gates on its
+    slowest frame, like the reference's while bad() && trials--); at
+    the 5 dB operating point that is ~3 of 12 sweeps.
     """
     kt = kernel_tables(table)
     G, q, Dmax = kt["G"], kt["q"], kt["Dmax"]
@@ -255,6 +286,8 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                 pl.BlockSpec((1, Dmax, PAD, B),
                              lambda r, *_: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda r, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((Dmax, PAD, B), jnp.int32),       # vstash
@@ -264,6 +297,7 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, B), jnp.int8),
             jax.ShapeDtypeStruct((q, Dmax, PAD, B), jnp.int8),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -271,12 +305,33 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     s_t = jnp.asarray(kt["s_tab"])
     f_t = jnp.asarray(kt["f_tab"])
 
-    def one(carry, _):
-        post, msgs = carry
-        post, msgs = sweep(g_t, s_t, f_t, post, msgs)
-        return (post, msgs), 0
+    trials0 = jnp.full((B,), n_iters, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
 
-    (post, msgs), _ = jax.lax.scan(one, (post, msgs), None, length=n_iters)
+    def body(carry):
+        post, msgs, trials, done, it = carry
+        post, msgs, bad = sweep(g_t, s_t, f_t, post, msgs)
+        now_ok = bad[0] == 0
+        trials = jnp.where(~done & now_ok, it + 1, trials)
+        done = done | now_ok
+        return post, msgs, trials, done, it + 1
+
+    if early_exit:
+        def cond(carry):
+            *_, done, it = carry
+            # sum-reduction, not jnp.all: axis reductions of other
+            # kinds inside while_loop have SIGSEGV'd this target's
+            # compiler before (CLAUDE.md: jnp.prod)
+            n_open = jnp.sum(1 - done.astype(jnp.int32))
+            return (it < n_iters) & (n_open > 0)
+        post, msgs, trials, done, _ = jax.lax.while_loop(
+            cond, body, (post, msgs, trials0, done0, jnp.int32(0)))
+    else:
+        def one(carry, _):
+            return body(carry), 0
+        (post, msgs, trials, done, _), _ = jax.lax.scan(
+            one, (post, msgs, trials0, done0, jnp.int32(0)), None,
+            length=n_iters)
     del msgs
 
     hard = (post[perm] < 0).astype(jnp.uint8).T        # [B, N]
@@ -299,4 +354,4 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
             prevneg = jnp.where(col0, 0, prevneg)
         acc += prevneg
         bad += jnp.sum(acc % 2, axis=0)
-    return hard, bad
+    return hard, bad, trials

@@ -149,14 +149,14 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
 
     @jax.jit
     def fec_pallas(llrs):
-        hard, n_bad = ldpc_pallas.decode_qc_pallas(
+        hard, n_bad, trials = ldpc_pallas.decode_qc_pallas(
             ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
             n_iters=n_iters)
         packed, bch_bad = pack_and_check(hard)
-        # fixed-sweep kernel: trials is the sweep count, not per-frame
-        # convergence (the streaming driver's escalation is the honest
-        # trial-count path)
-        trials = jnp.full(llrs.shape[0], n_iters, jnp.int32)
+        # trials = per-frame sweep at which the in-kernel online
+        # syndrome first read zero (n_iters if never) — the reference's
+        # trials-used-or-max metric; the sweep loop also exits early
+        # once the whole batch is clean
         return dict(kbch_bytes=packed, trials=trials,
                     ldpc_ok=n_bad == 0, bch_bad=bch_bad)
 

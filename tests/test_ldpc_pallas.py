@@ -97,18 +97,39 @@ def noisy_case():
 def test_kernel_matches_int_golden(noisy_case):
     llr, cw = noisy_case
     for it in (1, 3):
-        hard, _ = ldpc_pallas.decode_qc_pallas(jnp.asarray(llr), "C4",
-                                               n_iters=it, interpret=True)
+        # fixed sweep count for bit-exact comparison with the golden
+        hard, _, _ = ldpc_pallas.decode_qc_pallas(
+            jnp.asarray(llr), "C4", n_iters=it, interpret=True,
+            early_exit=False)
         hg = int_golden(llr, "C4", n_iters=it)
         np.testing.assert_array_equal(np.asarray(hard), hg)
 
 
 def test_kernel_converges_at_3db(noisy_case):
     llr, cw = noisy_case
-    hard, bad = ldpc_pallas.decode_qc_pallas(jnp.asarray(llr), "C4",
-                                             n_iters=12, interpret=True)
+    hard, bad, trials = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=12, interpret=True)
     assert (np.asarray(hard) == cw).all()
     assert (np.asarray(bad) == 0).all()
+    trials = np.asarray(trials)
+    # real per-frame convergence counts: all converge well before the
+    # budget at 3 dB, and the early exit must not cost correctness
+    assert (trials >= 1).all() and (trials < 12).all()
+
+
+def test_kernel_early_exit_matches_full_run(noisy_case):
+    """Early exit stops once the online syndrome is clean batch-wide;
+    the hard output must match the fixed-sweep run's FEC result (both
+    fully converged)."""
+    llr, cw = noisy_case
+    h_ee, bad_ee, tr = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=12, interpret=True)
+    h_fx, bad_fx, _ = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=12, interpret=True,
+        early_exit=False)
+    assert (np.asarray(bad_ee) == 0).all()
+    assert (np.asarray(bad_fx) == 0).all()
+    np.testing.assert_array_equal(np.asarray(h_ee), np.asarray(h_fx))
 
 
 def test_full_range_messages_hit_error_floor(noisy_case):
