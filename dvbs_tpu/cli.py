@@ -121,17 +121,25 @@ def main(argv=None):
         ap.error("--offset needs --samplerate and --symbolrate")
     total_out = 0
     chunk = 4 * args.block_symbols
+    ctrl_buf = ""
 
     def poll_control():
         """Apply queued stdin commands (non-blocking). Runs between
         blocks, mirroring the reference's ctrlMtx + tempStop/tempStart
         reconfiguration handshake (module_dvbs2_demod.cpp:98-214)."""
-        nonlocal ingest, out_sink, emit
+        nonlocal ingest, out_sink, emit, ctrl_buf
+        import os
         import select
+        # read raw bytes (not sys.stdin.readline: a second line queued
+        # in the same write would sit in the TextIOWrapper buffer while
+        # select reports the fd drained — applied one block late)
         while select.select([sys.stdin], [], [], 0)[0]:
-            line = sys.stdin.readline()
-            if not line:
-                return
+            data = os.read(sys.stdin.fileno(), 65536)
+            if not data:
+                break               # EOF: process what we have
+            ctrl_buf += data.decode(errors="replace")
+        while "\n" in ctrl_buf:
+            line, ctrl_buf = ctrl_buf.split("\n", 1)
             cmd = line.split()
             if not cmd:
                 continue

@@ -176,6 +176,8 @@ class BBFrameParser:
                 self._emit_gre(out, proto, df[p + ds:p + ds + glen])
                 p += ds + glen
             elif start:
+                if p + 7 > dfl_bytes:
+                    break       # truncated start-fragment header
                 frag = int(df[p + 2])
                 proto = (int(df[p + 5]) << 8) | int(df[p + 6])
                 glen -= 5
@@ -203,6 +205,8 @@ class BBFrameParser:
                         break
                 p += ds + glen
             elif end:
+                if p + 3 > dfl_bytes:
+                    break       # truncated end-fragment header
                 frag = int(df[p + 2])
                 glen -= 1
                 ds = 3
@@ -229,6 +233,8 @@ class BBFrameParser:
                 p += ds + glen
             else:
                 # middle fragment
+                if p + 3 > dfl_bytes:
+                    break       # truncated continuation header
                 frag = int(df[p + 2])
                 glen -= 1
                 ds = 3

@@ -264,10 +264,7 @@ class DVBSReceiver:
             nb8 = -(-n_pairs // 8) * 8
             bits_p = jnp.concatenate(
                 [bits, jnp.zeros(nb8 - n_pairs, bits.dtype)])
-            w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
-            packed = jnp.dot(bits_p.reshape(-1, 8).astype(jnp.float32), w,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.uint8)
+            packed = frontend.pack_bits_to_bytes(bits_p)
             # rank-0 fetches fail on the axon backend — ship ber as [1]
             return dict(bits=packed, ber=jnp.reshape(ber, (1,)),
                         hints=new_hints, scat=scat,

@@ -56,6 +56,16 @@ def unpack_cs4(packed: jax.Array) -> jax.Array:
     return jnp.stack([hi, lo], axis=-2)
 
 
+def pack_bits_to_bytes(bits: jax.Array) -> jax.Array:
+    """Device-side MSB-first bit packing: [..., 8k] {0,1} -> [..., k]
+    uint8, as a float dot against [128..1] so XLA tiles it onto the MXU
+    (a uint8 shift-or chain lowers to serial vector ops instead)."""
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    b = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 8, 8)
+    return jnp.dot(b.astype(jnp.float32), w,
+                   preferred_element_type=jnp.float32).astype(jnp.uint8)
+
+
 def coarse_cfo_estimate(x: jax.Array) -> jax.Array:
     """CFO in rad/sample from the lag-1 autocorrelation.
 

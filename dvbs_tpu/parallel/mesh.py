@@ -129,13 +129,10 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         vm_core = jax.jit(jax.vmap(core))
 
     def pack_and_check(hard):
-        from ..ops import bch
+        from ..ops import bch, frontend
         bch_bad = bch.syndrome_nonzero(hard[:, :rx.cfg.nbch],
                                        rx.cfg.framesize, rx.cfg.rate)
-        w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
-        packed = jnp.dot(
-            hard[:, :kbch].reshape(-1, kbch // 8, 8).astype(jnp.float32),
-            w, preferred_element_type=jnp.float32).astype(jnp.uint8)
+        packed = frontend.pack_bits_to_bytes(hard[:, :kbch])
         return packed, bch_bad
 
     @jax.jit

@@ -207,6 +207,7 @@ static void feed_gse(TSParser* p, const uint8_t* df, long dfl_bytes, long pos,
             emit_gre(out, proto, df + q + ds, glen);
             q += ds + glen;
         } else if (start) {
+            if (q + 7 > dfl_bytes) break;   // truncated start header
             uint8_t frag = df[q + 2];
             unsigned proto = (df[q + 5] << 8) | df[q + 6];
             long ds = 7; glen -= 5;
@@ -232,6 +233,7 @@ static void feed_gse(TSParser* p, const uint8_t* df, long dfl_bytes, long pos,
             }
             q += ds + glen;
         } else if (end) {
+            if (q + 3 > dfl_bytes) break;   // truncated end header
             uint8_t frag = df[q + 2];
             long ds = 3; glen -= 1;
             if (glen < 4 || q + ds + glen > dfl_bytes) break;
@@ -255,6 +257,7 @@ static void feed_gse(TSParser* p, const uint8_t* df, long dfl_bytes, long pos,
             }
             q += ds + glen;
         } else {
+            if (q + 3 > dfl_bytes) break;   // truncated continuation header
             uint8_t frag = df[q + 2];
             long ds = 3; glen -= 1;
             if (glen < 0 || q + ds + glen > dfl_bytes) break;

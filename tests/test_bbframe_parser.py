@@ -1,5 +1,6 @@
 """Tests for the host BBFRAME -> TS / GSE->GRE parser."""
 import numpy as np
+import pytest
 
 from dvbs_tpu.spec import modcod, scrambling, bbheader
 from dvbs_tpu.tx import dvbs2_mod, gse_mod
@@ -126,6 +127,52 @@ def test_gse_crc_error_detected():
     out = parser.feed(frames)
     assert parser.last_gse_crc_err
     assert out == b""
+
+
+def _truncated_gse_frames(kbch: int, trailer: bytes) -> np.ndarray:
+    """Two plain (descrambled) GSE BBFRAMEs: an all-padding filler (sync
+    acquisition) then a frame whose data field ends EXACTLY with
+    `trailer` — a GSE header cut off by the frame boundary. A full
+    unfragmented packet fills everything before it, so the data-field
+    walk lands on the truncated header with no room for its body."""
+    from dvbs_tpu.spec import bbheader
+    from dvbs_tpu.tx import gse_mod
+    df_bytes = (kbch - 80) // 8
+    pkt = gse_mod.gse_packet_unfrag(b"\xA5" * (df_bytes - len(trailer) - 4))
+    df = pkt + trailer
+    assert len(df) == df_bytes
+    out = np.zeros((2, kbch // 8), np.uint8)
+    hdr = bbheader.BBHeader(ts_gs=bbheader.TS_GS_GENERIC_CONTINUOUS,
+                            upl=0, dfl=kbch - 80, sync=0,
+                            syncd=kbch - 80 - 16)
+    out[0, :10] = hdr.pack()                      # filler: all padding
+    out[1, :10] = hdr.pack()
+    out[1, 10:] = np.frombuffer(df, np.uint8)
+    return out
+
+
+@pytest.mark.parametrize("trailer", [
+    bytes([0b10110000 | 0x0F, 0xFF]),   # start fragment, needs >=7 bytes
+    bytes([0b01110000 | 0x0F, 0xFF]),   # end fragment, needs >=3
+    bytes([0b00110000 | 0x0F, 0xFF]),   # continuation, needs >=3
+])
+def test_gse_truncated_header_at_frame_end(trailer):
+    """A GSE header whose body is cut off by the data-field boundary
+    (e.g. after a BCH miscorrection) must not index past the frame —
+    regression for an out-of-bounds read; the parser leaves the frame
+    and keeps working."""
+    cfg = modcod.get_config(4, short=True)
+    frames = _truncated_gse_frames(cfg.kbch, trailer)
+    parser = BBFrameParser(cfg.kbch)
+    out = parser.feed(frames)                     # must not raise
+    # the full unfragmented packet before the trailer still comes out
+    assert bytes([0xA5]) * 16 in out
+    # and the parser still works on a following clean frame
+    pdu = bytes(range(200))
+    nxt = scrambling.bb_scramble_bytes(gse_mod.gse_to_bbframes(
+        [gse_mod.gse_packet_unfrag(pdu)], cfg.kbch))   # descrambled
+    out2 = parser.feed(nxt)
+    assert pdu in out2
 
 
 def test_crc32_vector():

@@ -103,6 +103,24 @@ def test_tsparser_native_gse_matches_python():
     assert out_p == out_n
 
 
+def test_tsparser_native_gse_truncated_header():
+    """A GSE header cut off by the data-field boundary must not read
+    past the frame buffer (regression: heap OOB read) and must match
+    the python parser byte for byte."""
+    from tests.test_bbframe_parser import _truncated_gse_frames
+    cfg = modcod.get_config(4, short=True)
+    for trailer in (bytes([0b10110000 | 0x0F, 0xFF]),   # start, needs 7
+                    bytes([0b01110000 | 0x0F, 0xFF]),   # end, needs 3
+                    bytes([0b00110000 | 0x0F, 0xFF])):  # cont., needs 3
+        frames = _truncated_gse_frames(cfg.kbch, trailer)
+        py = BBFrameParser(cfg.kbch)
+        nat = native.NativeTSParser(cfg.kbch)
+        out_p = py.feed(frames)
+        out_n = nat.feed(frames)
+        assert out_p == out_n
+        assert bytes([0xA5]) * 16 in out_n
+
+
 def test_tsparser_native_gse_large_fragmented_pdu():
     """A PDU reassembled across many BBFRAMEs (30 KB in 200-byte
     fragments) is emitted in a single feed() call — regression for the
