@@ -105,6 +105,22 @@ def test_kernel_matches_int_golden(noisy_case):
         np.testing.assert_array_equal(np.asarray(hard), hg)
 
 
+@pytest.mark.parametrize("table", ["B4", "C1", "B11"])
+def test_kernel_matches_int_golden_other_tables(table):
+    """Bit-exactness across table families: the bench's normal-frame
+    B4, the lowest-rate short C1, and the highest-rate normal B11 (most
+    layers). One sweep over random LLRs is enough — golden parity tests
+    the arithmetic, not convergence."""
+    t = qc_tables(table)
+    rng = np.random.default_rng(1)
+    llr = rng.integers(-25, 26, (ldpc_pallas.B, t["N"])).astype(np.int8)
+    hard, _, _ = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), table, n_iters=1, interpret=True,
+        early_exit=False)
+    hg = int_golden(llr, table, n_iters=1)
+    np.testing.assert_array_equal(np.asarray(hard), hg)
+
+
 def test_kernel_converges_at_3db(noisy_case):
     llr, cw = noisy_case
     hard, bad, trials = ldpc_pallas.decode_qc_pallas(
