@@ -107,6 +107,62 @@ def main():
     print(f"  ldpc_ok all: {out_h['ldpc_ok'].all()}, bch_bad any: "
           f"{out_h['bch_bad'].any()}, trials max: "
           f"{out_h['trials'].max()}", flush=True)
+
+    # ---- 4. vm_core stage split at bench scale (next-opt guidance) ---
+    try:
+        from dvbs_tpu.spec import interleaver, scrambling
+        from dvbs_tpu.ops import plsync, plphase, plhdr, demap
+        L, F = cfg.plframe_len, rx.n_frames
+        payload_idx = plphase.payload_indices(cfg)  # noqa: F841
+        descr = np.conj(scrambling.pl_scrambler_phasors()[:L - 90])
+        deint = interleaver.deinterleave_perm(
+            cfg.constellation, cfg.framesize, cfg.rate)
+
+        def v(f):
+            return jax.jit(jax.vmap(f))
+
+        def phase_demap(frames):
+            fed = plphase.coarse_fed_common(frames, cfg)
+            frames = plphase.apply_freq(frames, jnp.broadcast_to(fed, (F,)))
+            flr = plphase.lr_freq_common(frames, cfg)
+            frames = plphase.apply_freq(frames, jnp.broadcast_to(flr, (F,)))
+            theta0 = plphase.header_phase(frames, cfg)
+            frames_c = plphase.derotate(frames, theta0[:, None])
+            payload = frames_c[:, 90:] * descr[None, :]
+            vv = plphase.qpsk_vv_track(payload, jnp.zeros(F))
+            payload = plphase.derotate(payload, vv)
+            pls_idx, _ = plhdr.detect_pls(frames_c[:, :90])
+            llrs = demap.soft_demap(payload, cfg.constellation,
+                                    cfg.g1, cfg.g2)
+            return llrs.reshape(F, -1)[:, deint], pls_idx
+
+        cx = v(lambda ri: (ri[0].astype(jnp.float32) + 1j *
+                           ri[1].astype(jnp.float32)))(dev)
+        prev, outs = cx, {}
+        for name, fn in [
+            ("agc", v(frontend.agc)),
+            ("cfo+mix", v(lambda xx: frontend.mix(
+                xx, frontend.coarse_cfo_estimate(xx)))),
+            ("matched_filter", v(frontend.matched_filter)),
+            ("timing_recovery", v(lambda yy: frontend.recover_symbols(
+                yy, n_windows=16)[0])),
+        ]:
+            t, prev = timeit(fn, prev)
+            outs[name] = prev
+            print(f"  stage {name:16s} {t*1e3:7.2f} ms", flush=True)
+        z = outs["timing_recovery"]
+        t, sc = timeit(v(lambda s: plsync.correlate(s)[0]), z)
+        print(f"  stage {'plsync_correlate':16s} {t*1e3:7.2f} ms",
+              flush=True)
+        loc = v(lambda s: plsync.locate_frames(
+            s, L, F, margin=rx.edge_margin))(sc)
+        t, frames = timeit(v(lambda zz, ss: plsync.extract_frames(
+            zz, ss, L)), z, loc[0])
+        print(f"  stage {'locate+extract':16s} {t*1e3:7.2f} ms", flush=True)
+        t, _ = timeit(v(phase_demap), frames)
+        print(f"  stage {'phase+demap':16s} {t*1e3:7.2f} ms", flush=True)
+    except Exception as e:   # stage split is advisory; keep 1-3 results
+        print(f"stage split failed: {e!r}", flush=True)
     print("done", flush=True)
 
 
