@@ -163,6 +163,22 @@ def main():
         print(f"  stage {'phase+demap':16s} {t*1e3:7.2f} ms", flush=True)
     except Exception as e:   # stage split is advisory; keep 1-3 results
         print(f"stage split failed: {e!r}", flush=True)
+
+    # ---- 5. DVB-S chain (BASELINE config 1) in the same process ------
+    try:
+        import tools.bench_dvbs as bd
+        print("dvbs bench:", flush=True)
+        bd.main()
+    except Exception as e:
+        print(f"dvbs bench failed: {e!r}", flush=True)
+
+    # ---- 6. the driver's own bench.py line, same process -------------
+    try:
+        import bench
+        print("bench.py:", flush=True)
+        bench.main()
+    except Exception as e:
+        print(f"bench.py failed: {e!r}", flush=True)
     print("done", flush=True)
 
 
