@@ -77,7 +77,7 @@ def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
 def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                        block_symbols: int = 1 << 17, n_iters: int = 12,
                        fec_chunk: int = 24, fec: str = "auto",
-                       ingest: str = "cs8"):
+                       ingest: str = "cs8", interpret_pallas: bool = False):
     """Single-device multi-carrier bank: the whole bank demodulates in one
     device program per block (vmap over the carrier axis), which amortizes
     the per-call host<->device latency — the BASELINE.json 8-carrier
@@ -146,9 +146,11 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
 
     @jax.jit
     def fec_pallas(llrs):
+        # interpret_pallas=True runs the kernel in Pallas interpret mode
+        # so the full pallas-FEC bank is CPU-testable (tests only)
         hard, n_bad, trials = ldpc_pallas.decode_qc_pallas(
             ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
-            n_iters=n_iters)
+            n_iters=n_iters, interpret=interpret_pallas)
         packed, bch_bad = pack_and_check(hard)
         # trials = per-frame sweep at which the in-kernel online
         # syndrome first read zero (n_iters if never) — the reference's

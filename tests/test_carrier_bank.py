@@ -87,6 +87,43 @@ def test_bank_cs4_ingest_matches_cs8(bank_io):
     assert np.array_equal(out["kbch_bytes"], out8["kbch_bytes"])
 
 
+def test_bank_pallas_fec_full_width():
+    """The bench configuration's fec='pallas' wiring (quantize ->
+    B=128 kernel -> pack_and_check -> real trials), end to end on CPU
+    via interpret mode: 2 carriers x 64 short frames with DISTINCT
+    signals and different SNRs (per-frame LLR quantization must keep
+    the weak carrier decodable next to a strong one)."""
+    block = bank_block_symbols(CARRIERS, mc=MC, short=SHORT,
+                               frames_total=128)
+    n = 2 * block
+    cfg = modcod.get_config(MC, short=SHORT)
+    need = int(np.ceil(64 * cfg.kbch / 8 / 188 / 8)) * 8 + 16
+    sigs, sents = [], []
+    for seed, snr in ((21, 5.0), (22, 12.0)):
+        pkts = dvbs2_mod.random_ts_packets(need, seed=seed)
+        bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
+        tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
+        x = channel.shape(tx, sps=2)
+        y = channel.impair(x, snr_db=snr, cfo=0.004 * np.pi,
+                           delay_samples=0.3, seed=seed)
+        assert len(y) >= n
+        sigs.append(y[:n])
+        sents.append(bb.tobytes())
+    step, _ = build_carrier_bank(CARRIERS, mc=MC, short=SHORT,
+                                 block_symbols=block, fec="pallas",
+                                 interpret_pallas=True)
+    samples = np.stack([_to_cs8(s) for s in sigs])
+    out = {k: np.asarray(v) for k, v in step(samples).items()}
+    assert out["ldpc_ok"].all()
+    assert not out["bch_bad"].any()
+    tr = out["trials"]
+    assert (tr >= 1).all() and (tr < 12).all()
+    F = out["quality"].shape[1]
+    kb = out["kbch_bytes"].reshape(CARRIERS, F, -1)
+    for c in range(CARRIERS):
+        assert kb[c, 0].tobytes() in sents[c]
+
+
 def test_pack_unpack_cs4_roundtrip():
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
