@@ -275,7 +275,7 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
             num_scalar_prefetch=3,
             grid=(q,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),     # post, stays HBM
+                pl.BlockSpec(memory_space=pl.ANY),        # post, stays HBM
                 pl.BlockSpec((1, Dmax, PAD, B),
                              lambda r, *_: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
