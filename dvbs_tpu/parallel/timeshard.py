@@ -78,3 +78,56 @@ def build_time_sharded(n_devices: int, mc: int = 4, short: bool = True,
     ))
     example = np.zeros((n_devices, 2, A), np.float32)
     return step, example, mesh, A
+
+
+def build_grid_sharded(n_carriers: int, n_time: int, mc: int = 4,
+                       short: bool = True, block_symbols: int = 1 << 15):
+    """2D carrier x time sharding: the full scale-out shape of
+    BASELINE config 5 (N-carrier bank spread over a slice / multiple
+    hosts) as ONE SPMD program over a {carrier, time} mesh.
+
+    Each device owns a contiguous A-sample slice of ONE carrier's
+    stream; the overlap-save halo rides `ppermute` around the TIME ring
+    only — collectives over a named axis act within each slice of the
+    other axes, so every carrier keeps an independent halo ring and
+    there is zero cross-carrier traffic (carriers are embarrassingly
+    parallel, SURVEY.md sec. 2.5).
+
+    Returns (step_fn, example_input, mesh, advance_samples); step_fn
+    maps [C, T, 2, A] -> per-shard outputs stacked on [C, T, ...].
+    """
+    ndev = n_carriers * n_time
+    devices = np.array(jax.devices()[:ndev]).reshape(n_carriers, n_time)
+    mesh = Mesh(devices, ("carrier", "time"))
+    rx = DVBS2Receiver(mc=mc, short=short, block_symbols=block_symbols)
+    A = 2 * rx.n_frames * rx.cfg.plframe_len
+    n = 2 * block_symbols
+    halo = n - A
+    if halo <= 0:
+        raise ValueError(f"block {block_symbols} yields no overlap "
+                         f"(halo {halo})")
+    hops = -(-halo // A)
+    core = rx._sym_fn
+    fec = rx._fec2_fn or rx._fec_fn
+    right = [(d, (d - 1) % n_time) for d in range(n_time)]
+
+    def local_step(chunk):               # [1, 1, 2, A] on each device
+        chunk = chunk[0, 0]
+        parts, nxt = [chunk], chunk
+        for _ in range(hops):
+            nxt = jax.lax.ppermute(nxt, "time", right)
+            parts.append(nxt)
+        window = jnp.concatenate(parts, axis=-1)[:, :n]        # [2, n]
+        out = core(window)
+        fd = fec(out.pop("llrs"))
+        out.pop("scatter")
+        out.update(fd)
+        return {k: v[None, None] for k, v in out.items()}
+
+    step = jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("carrier", "time", None, None),),
+        out_specs=P("carrier", "time"),
+    ))
+    example = np.zeros((n_carriers, n_time, 2, A), np.float32)
+    return step, example, mesh, A
