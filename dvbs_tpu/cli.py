@@ -22,7 +22,8 @@ from .models.driver import DVBS2Stream
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU DVB-S/S2 demodulator")
     ap.add_argument("--iq", required=True,
-                    help="IQ file (2 samples/symbol unless --samplerate "
+                    help="IQ file, or udp://[host]:port for live ingest "
+                         "(2 samples/symbol unless --samplerate "
                          "and --symbolrate say otherwise)")
     ap.add_argument("--format", default="cf32",
                     choices=["cf32", "cs16", "cs8", "cu8"])
@@ -55,6 +56,9 @@ def main(argv=None):
     ap.add_argument("--block-symbols", type=int, default=1 << 17)
     ap.add_argument("--ldpc-trials", type=int, default=32)
     ap.add_argument("--udp", default=None, help="host:port UDP sink")
+    ap.add_argument("--udp-idle-timeout", type=float, default=5.0,
+                    help="with --iq udp://, stop after this many seconds "
+                         "without datagrams")
     ap.add_argument("--out", default=None, help="output file")
     ap.add_argument("--config", default=None, help="JSON config file")
     ap.add_argument("--control", action="store_true",
@@ -110,7 +114,39 @@ def main(argv=None):
     emits = [make_emit(s) for s in sinks]
     stream, out_sink, emit = streams[0], sinks[0], emits[0]
 
-    samples = source.read_iq_file(args.iq, args.format)
+    chunk0 = 4 * args.block_symbols
+    if args.iq.startswith("udp://"):
+        # live ingest: --iq udp://[host]:port ; stops after
+        # --udp-idle-timeout seconds of silence
+        hp = args.iq[len("udp://"):]
+        uhost, _, uport = hp.rpartition(":")
+        src = source.UDPSource(int(uport), uhost or "0.0.0.0",
+                               fmt=args.format,
+                               timeout=args.udp_idle_timeout)
+        total_samples = "live"
+
+        def block_iter():
+            buf, have = [], 0
+            while True:
+                part = src.read()
+                if part is None:            # idle: flush and stop
+                    if have:
+                        yield np.concatenate(buf)
+                    src.close()
+                    return
+                buf.append(part)
+                have += len(part)
+                if have >= chunk0:
+                    cat = np.concatenate(buf)
+                    yield cat[:chunk0]
+                    buf, have = [cat[chunk0:]], have - chunk0
+    else:
+        samples = source.read_iq_file(args.iq, args.format)
+        total_samples = len(samples)
+
+        def block_iter():
+            for i in range(0, len(samples), chunk0):
+                yield samples[i:i + chunk0]
     ingest = None
     if args.samplerate and args.symbolrate:
         from .ops.resample import Channelizer
@@ -120,7 +156,6 @@ def main(argv=None):
     elif args.offset:
         ap.error("--offset needs --samplerate and --symbolrate")
     total_out = 0
-    chunk = 4 * args.block_symbols
     ctrl_buf = ""
 
     def poll_control():
@@ -205,10 +240,11 @@ def main(argv=None):
                 print(f"control: bad command {line.strip()!r}: {e}",
                       file=sys.stderr)
 
-    for i in range(0, len(samples), chunk):
+    consumed = 0
+    for base in block_iter():
+        consumed += len(base)
         if args.control:
             poll_control()
-        base = samples[i:i + chunk]
         per = ingest.feed(base) if ingest is not None else [base]
         data = stream.feed(per[0])
         total_out += len(data)
@@ -223,14 +259,14 @@ def main(argv=None):
         m = stream.metrics
         if args.mode == "s":
             # DVB-S metric set (module_dvbs_demod.cpp:101-115)
-            print(f"[{i + chunk:>10}/{len(samples)}] out={total_out}B "
+            print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
                   f"vit_sig={m.viterbi_sig_level:.1f} "
                   f"vit_rate={m.viterbi_rate} lock={int(m.viterbi_lock)} "
                   f"rs_avg={m.rs_avg_errors:.2f} "
                   f"defra_err={m.deframer_errors} "
                   f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
         else:
-            print(f"[{i + chunk:>10}/{len(samples)}] out={total_out}B "
+            print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
                   f"sync={m.pl_sync_best_match:.2f} "
                   f"ldpc_trials={m.ldpc_trials} bch_q={m.bch_quality:.1f} "
                   f"modcod={m.detected_modcod} "

@@ -37,6 +37,53 @@ def _stdin_with(monkeypatch, text: str):
     monkeypatch.setattr(sys, "stdin", os.fdopen(r, "r"))
 
 
+def test_udp_live_ingest(tmp_path):
+    """--iq udp://:port streams datagrams into the same block pipeline:
+    a 2-sps capture sent over localhost UDP decodes to the transmitted
+    TS, and the CLI exits on the idle timeout."""
+    import socket
+    import threading
+
+    cfg = modcod.get_config(4, short=True)
+    pkts = dvbs2_mod.random_ts_packets(120, seed=9)
+    bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
+    tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
+    y = channel.impair(channel.shape(tx, sps=2), snr_db=12.0, seed=10)
+    raw = np.empty(2 * len(y), np.float32)
+    raw[0::2], raw[1::2] = y.real, y.imag
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))          # pick a free port
+    port = sock.getsockname()[1]
+    sock.close()
+
+    def sender():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        data = raw.tobytes()
+        step = 4096 * 8                   # 4k samples per datagram
+        for lo in range(0, len(data), step):
+            s.sendto(data[lo:lo + step], ("127.0.0.1", port))
+        s.close()
+
+    out = tmp_path / "out.ts"
+    th = threading.Timer(1.0, sender)    # let the CLI bind first
+    th.start()
+    try:
+        rc = cli.main(["--iq", f"udp://:{port}", "--mode", "s2",
+                       "--modcod", "4", "--framesize", "short",
+                       "--block-symbols", str(1 << 15),
+                       "--udp-idle-timeout", "10",
+                       "--out", str(out)])
+    finally:
+        th.join()
+    assert rc == 0
+    data = out.read_bytes()
+    sent = pkts.tobytes()
+    assert len(data) >= 188 * 10
+    for lo in range(0, len(data) - 187, 188):
+        assert data[lo:lo + 188] in sent
+
+
 def test_control_commands_apply_and_decode(tmp_path, capture, monkeypatch):
     path, sent = capture
     out = tmp_path / "out.ts"
