@@ -32,3 +32,17 @@ def test_stream_recovers_full_ts():
     m = stream.metrics
     assert m.frames_ok == m.frames_seen
     assert m.detected_modcod == 4 and m.detected_shortframes
+
+    # observability surface (profiling.PipelineStats): the driver's
+    # always-on counters must reflect the run, and report() must carry
+    # the stage clocks + the real per-frame LDPC trial histogram
+    st = stream.stats
+    assert st.blocks > 1
+    assert st.frames_ok == m.frames_ok and st.frames_seen == m.frames_seen
+    assert st.ts_bytes_out == len(out)
+    assert sum(st.trial_hist.values()) == st.frames_seen
+    assert max(st.trial_hist) <= 32 and min(st.trial_hist) >= 1
+    rep = st.report()
+    for token in ("blocks", "frames", "ldpc trials:", "dispatch",
+                  "finalize"):
+        assert token in rep, f"{token!r} missing from report:\n{rep}"
