@@ -265,26 +265,26 @@ def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
     # c = i0 - (n_taps/2-1) - 2k in [c_lo, c_hi] (clip for safety)
     c_lo = SP - 1 - (n_taps // 2 - 1)
     c_hi = 3 * SP + 1 - (n_taps // 2 - 1)
-    nc = c_hi - c_lo + 1
     base = jnp.clip(i0 - (n_taps // 2 - 1) - 2 * k, c_lo, c_hi)
-    onehot = (base[:, None] ==
-              jnp.arange(c_lo, c_hi + 1)[None, :]).astype(jnp.float32)
+    onehot = base[:, None] == jnp.arange(c_lo, c_hi + 1)[None, :]
     bank = jnp.asarray(interp_bank(n_phases, n_taps))  # [128, 8]
     ph1h = (ph[:, None] == jnp.arange(n_phases)[None, :]).astype(jnp.float32)
     taps = jnp.dot(ph1h, bank, preferred_element_type=jnp.float32)  # [S, 8]
-    # fold the select INTO the coefficients: out[k] = sum_m y[2k+m] *
-    # C[k, m] with C[k, m] = taps[k, m - base[k]] (8 nonzeros per row) —
-    # nc + n_taps - 1 shifted MACs instead of nc * n_taps select-adds
-    # (the old per-(c, j) one-hot select was ~4x the vector-op count,
-    # the bulk of the timing-recovery stage's device time)
-    C = jnp.zeros((S, nc + n_taps - 1), jnp.float32)
-    for j in range(n_taps):
-        C = C.at[:, j:j + nc].add(onehot * taps[:, j:j + 1])
+    # window assembly by one-hot select, everything in [S]-shaped
+    # lane-major vectors. (A "fold the select into [S, nc+7]
+    # coefficients" variant looked 4x cheaper by op count but measured
+    # ~10x SLOWER on hardware: the [S, 26] arrays sit far below the
+    # 128-lane tile, so every column update/extract is a relayout —
+    # tools/profile_tpu.py showed the timing stage at 243 ms vs ~25 ms.)
     out = jnp.zeros(S, y.dtype)
-    for mi, m in enumerate(range(c_lo, c_hi + n_taps)):
-        src = ye[m // 2: m // 2 + S] if m % 2 == 0 else \
-            yo[m // 2: m // 2 + S]
-        out = out + src * C[:, mi]
+    for j in range(n_taps):
+        acc = jnp.zeros(S, y.dtype)
+        for ci, c in enumerate(range(c_lo, c_hi + 1)):
+            idx = c + j
+            src = ye[idx // 2: idx // 2 + S] if idx % 2 == 0 else \
+                yo[idx // 2: idx // 2 + S]
+            acc = acc + jnp.where(onehot[:, ci], src, 0.0)
+        out = out + acc * taps[:, j]
     return out.astype(jnp.complex64)
 
 
@@ -337,12 +337,37 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     return resample_windowed(y2, t), tau_u, tau_end
 
 
+_MAX_SCO = 250e-6   # symbol-clock error the windowing must absorb
+
+
+def _auto_windows(S: int) -> int:
+    """Smallest power-of-two window count (that divides S) whose
+    in-window drift stays inside the selector span at _MAX_SCO.
+
+    The selector covers t[k]-2k in [SP, 3*SP]; after the even rebase
+    (+-1) that leaves ~2*SP-2 samples of in-window drift headroom, and a
+    window of S/W symbols spans 2*S/W input samples. Fixed W=64 was 8x
+    more windows than bench scale needs — per-window cost is ~constant
+    (the one-hot select op count), so fewer, longer windows are strictly
+    faster on the VPU."""
+    allow = 2 * _RESAMPLE_SPAN - 2
+    need = int(np.ceil(2 * S * _MAX_SCO / allow))
+    W = 4
+    while W < need or S % W:
+        W *= 2
+        if W > S:
+            raise ValueError(f"no power-of-two window count divides {S}")
+    return min(W, 64)
+
+
 def resample_windowed(y2: jax.Array, t: jax.Array,
-                      n_windows: int = 64) -> jax.Array:
+                      n_windows: int | None = None) -> jax.Array:
     """Symbol-grid resampling with unbounded linear drift: the stream is
     cut into windows, each rebased by an even dynamic offset so the
     gather-free selector's span only has to cover the in-window drift."""
     S = t.shape[-1]
+    if n_windows is None:
+        n_windows = _auto_windows(S)
     assert S % n_windows == 0
     w = S // n_windows
     P = 4 * _RESAMPLE_SPAN
