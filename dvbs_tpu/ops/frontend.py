@@ -341,23 +341,24 @@ _MAX_SCO = 250e-6   # symbol-clock error the windowing must absorb
 
 
 def _auto_windows(S: int) -> int:
-    """Smallest power-of-two window count (that divides S) whose
-    in-window drift stays inside the selector span at _MAX_SCO.
+    """Window count for the selector: prefer 64, drop for small blocks.
 
-    The selector covers t[k]-2k in [SP, 3*SP]; after the even rebase
-    (+-1) that leaves ~2*SP-2 samples of in-window drift headroom, and a
-    window of S/W symbols spans 2*S/W input samples. Fixed W=64 was 8x
-    more windows than bench scale needs — per-window cost is ~constant
-    (the one-hot select op count), so fewer, longer windows are strictly
-    faster on the VPU."""
+    Measured on hardware at bench scale (tools/measure_r3.py): W=64 runs
+    FASTER than W=32/16 (31.9 vs 38.5 ms fused core) even though the
+    select-op count scales with W — the total element work is constant
+    (W x 152 ops of length S/W) and XLA interleaves the independent
+    windows better at finer granularity. So keep the historical 64 and
+    only shrink when S doesn't divide or windows would get tiny; the
+    in-window drift headroom (~2*SP-2 samples per 2*S/W-sample window)
+    covers _MAX_SCO at every allowed combination."""
+    W = 64
+    while W > 4 and (S % W or S // W < 1024):
+        W //= 2
+    if S % W:
+        raise ValueError(f"no power-of-two window count divides {S}")
     allow = 2 * _RESAMPLE_SPAN - 2
-    need = int(np.ceil(2 * S * _MAX_SCO / allow))
-    W = 4
-    while W < need or S % W:
-        W *= 2
-        if W > S:
-            raise ValueError(f"no power-of-two window count divides {S}")
-    return min(W, 64)
+    assert 2 * (S / W) * _MAX_SCO <= allow, (S, W)
+    return W
 
 
 def resample_windowed(y2: jax.Array, t: jax.Array,
