@@ -159,22 +159,44 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         return dict(kbch_bytes=packed, trials=trials,
                     ldpc_ok=n_bad == 0, bch_bad=bch_bad)
 
+    if fec == "pallas":
+        # ONE fused program: the "separate jit per stage" rule exists for
+        # the XLA decode_qc (its all-VMEM schedule dies inside a bigger
+        # program, CLAUDE.md); the Pallas kernel manages VMEM explicitly,
+        # so fusing front end + FEC saves a dispatch round trip per block
+        # (~5 ms through the axon tunnel) and lets XLA overlap the demap
+        # tail with the decode prologue.
+        from ..ops import frontend
+
+        def unpack(p):
+            return frontend.unpack_cs4(p) if ingest == "cs4" else p
+
+        @jax.jit
+        def fused_step(samples):
+            out = jax.vmap(core)(unpack(samples))
+            llrs = out.pop("llrs").reshape(total, N)
+            fd = fec_pallas(llrs)
+            fd.update(quality=out["quality"], pls=out["pls"])
+            return fd
+        if ingest == "cs4":
+            example = np.zeros((n_carriers, 2 * block_symbols), np.uint8)
+        else:
+            example = np.zeros((n_carriers, 2, 2 * block_symbols), np.int8)
+        return fused_step, example
+
     def step(samples_i8):
-        # NOTE deliberately not one fused jit: the QC LDPC decoder must run
-        # as its own program to keep its schedule (CLAUDE.md);
+        # NOTE deliberately not one fused jit: the XLA QC LDPC decoder
+        # must run as its own program to keep its schedule (CLAUDE.md);
         # intermediate arrays stay on device between the chained calls.
         out = vm_core(samples_i8)
         llrs = out.pop("llrs").reshape(total, N)
-        if fec == "pallas":
-            fd = fec_pallas(llrs)
-        else:
-            # plain slicing: the tail chunk keeps its true (smaller)
-            # size — a clamped fixed-size dynamic_slice would duplicate
-            # rows and misalign frames against quality/pls
-            parts = [fec_xla(llrs[lo:min(lo + fec_chunk, total)])
-                     for lo in range(0, total, fec_chunk)]
-            fd = {k: jnp.concatenate([p[k] for p in parts])
-                  for k in parts[0]}
+        # plain slicing: the tail chunk keeps its true (smaller)
+        # size — a clamped fixed-size dynamic_slice would duplicate
+        # rows and misalign frames against quality/pls
+        parts = [fec_xla(llrs[lo:min(lo + fec_chunk, total)])
+                 for lo in range(0, total, fec_chunk)]
+        fd = {k: jnp.concatenate([p[k] for p in parts])
+              for k in parts[0]}
         fd.update(quality=out["quality"], pls=out["pls"])
         return fd
 
