@@ -122,15 +122,21 @@ def _fir_matrix(taps_key, blk: int) -> np.ndarray:
     return T
 
 
-def fir_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
+def fir_filter(x: jax.Array, taps: np.ndarray,
+               bf16: bool = True) -> jax.Array:
     """Centered FIR ('same' length). Complex in, real taps.
 
     Long filters on long blocks run on the MXU: overlapping [blk+K-1]
-    windows of the padded input times a banded tap matrix, two f32
-    matmuls (HIGHEST precision — the matched filter feeds low-SNR soft
-    demap). Short filters/blocks use static shift-and-add (single-
-    channel 1-D convolution lowers terribly on TPU; K shifted
-    multiply-adds vectorize on the VPU but cost K full passes).
+    windows of the padded input times a banded tap matrix, two matmuls.
+    bf16=True (default) runs them as single-pass bf16 with f32
+    accumulation — at the receiver's operating point the input is
+    4..8-bit quantized IQ well below the AWGN floor, so the bf16
+    rounding (8-bit mantissa per product) is invisible next to channel
+    noise while costing 6x less MXU time than a HIGHEST-precision f32
+    matmul (which decomposes into 6 bf16 passes). Short filters/blocks
+    use static shift-and-add (single-channel 1-D convolution lowers
+    terribly on TPU; K shifted multiply-adds vectorize on the VPU but
+    cost K full passes).
     """
     taps = np.asarray(taps, np.float32)
     K = len(taps)
@@ -143,11 +149,19 @@ def fir_filter(x: jax.Array, taps: np.ndarray) -> jax.Array:
         a = xp.reshape(nb + 1, blk)
         w = jnp.concatenate([a[:-1], a[1:]], axis=1)[:, :blk + K - 1]
         T = jnp.asarray(_fir_matrix(tuple(taps.tolist()), blk))
-        dot = functools.partial(jnp.dot,
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-        re = dot(jnp.real(w), T).reshape(nb * blk)[:n]
-        im = dot(jnp.imag(w), T).reshape(nb * blk)[:n]
+        if bf16:
+            T = T.astype(jnp.bfloat16)
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32)
+            wr = jnp.real(w).astype(jnp.bfloat16)
+            wi = jnp.imag(w).astype(jnp.bfloat16)
+        else:
+            dot = functools.partial(jnp.dot,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+            wr, wi = jnp.real(w), jnp.imag(w)
+        re = dot(wr, T).reshape(nb * blk)[:n]
+        im = dot(wi, T).reshape(nb * blk)[:n]
         return (re + 1j * im).astype(jnp.complex64)
     xp = jnp.pad(x, (half, K - 1 - half))
     acc = jnp.zeros(n, x.dtype)
@@ -239,7 +253,11 @@ def resample_at(y: jax.Array, t: jax.Array, n_phases: int = 128,
     return jnp.sum(y[idx] * taps, axis=-1).astype(jnp.complex64)
 
 
-_RESAMPLE_SPAN = 8    # max |t(k) - 2k| the gather-free resampler supports
+_RESAMPLE_SPAN = 4    # max |t(k) - 2k| the gather-free resampler supports
+# (selector candidate count is 2*SP+3; SP=4 measured 30.4 ms vs 33.4 ms
+# at SP=8 for the 8-carrier bench bank with identical decode quality —
+# tools/measure_r4.py. The in-window drift bound 2*(S/W)*_MAX_SCO must
+# stay under 2*SP-2; _auto_windows grows W for large blocks.)
 
 
 def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
@@ -357,6 +375,9 @@ def _auto_windows(S: int) -> int:
     if S % W:
         raise ValueError(f"no power-of-two window count divides {S}")
     allow = 2 * _RESAMPLE_SPAN - 2
+    # very large blocks: more windows, so in-window drift fits the span
+    while 2 * (S / W) * _MAX_SCO > allow and S % (2 * W) == 0:
+        W *= 2
     assert 2 * (S / W) * _MAX_SCO <= allow, (S, W)
     return W
 

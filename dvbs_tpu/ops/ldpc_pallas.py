@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ldpc_qc import qc_tables, LANES
+from .ldpc_qc import qc_tables, llr_to_post, post_to_hard, LANES
 
 PAD = 384            # 360 rounded up to 3 sublane tiles of 128-lane int8
 B = 128              # frames per call (lane axis)
@@ -85,11 +85,7 @@ def kernel_tables(table: str):
     for r, ents in enumerate(rows):
         for e, (g, s, f) in enumerate(ents):
             g_tab[r, e], s_tab[r, e], f_tab[r, e] = g, s, f
-    # padded QC layout permutation: codeword bit i -> padded row index
-    perm = t["perm"].astype(np.int64)
-    padded_perm = (perm // LANES) * PAD + (perm % LANES)
     return dict(G=G, q=q, Dmax=Dmax, g_tab=g_tab, s_tab=s_tab, f_tab=f_tab,
-                padded_perm=padded_perm.astype(np.int32),
                 N=t["N"], K=t["K"])
 
 
@@ -242,10 +238,11 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
 
 
 @functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
-                                             "interpret", "early_exit"))
+                                             "interpret", "early_exit",
+                                             "syndrome"))
 def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                      beta: int = 1, interpret: bool = False,
-                     early_exit: bool = True):
+                     early_exit: bool = True, syndrome: str = "kernel"):
     """Layered OMS decode of B=128 frames in one Pallas kernel.
 
     llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
@@ -258,14 +255,26 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     frame's online syndrome is clean (the whole batch gates on its
     slowest frame, like the reference's while bad() && trials--); at
     the 5 dB operating point that is ~3 of 12 sweeps.
+
+    syndrome="kernel" reports the LAST sweep's in-kernel online count
+    as n_bad_checks — the same statistic the early-exit gate and the
+    reference's `bad()` loop condition use, at zero extra cost.
+    "xla" recomputes the exact final syndrome from the posteriors
+    (layer-by-layer rolls in XLA) — it can disagree with the online
+    count only when posterior signs flip after their layer was visited
+    within the final sweep; downstream the on-device BCH syndrome gates
+    actual frame acceptance either way.
     """
     kt = kernel_tables(table)
     G, q, Dmax = kt["G"], kt["q"], kt["Dmax"]
     n_rows = (G + q) * PAD
     assert llr_i8.shape == (B, kt["N"]), llr_i8.shape
 
-    perm = jnp.asarray(kt["padded_perm"])
-    post = jnp.zeros((n_rows, B), jnp.int8).at[perm].set(llr_i8.T)
+    # POST layout via reshape+transpose (gather-free, see llr_to_post),
+    # rows padded 360 -> PAD for tile alignment
+    p3 = llr_to_post(llr_i8, G, q)                     # [G+q, 360, B]
+    post = jnp.pad(p3, ((0, 0), (0, PAD - LANES), (0, 0))
+                   ).reshape(n_rows, B)
     msgs = jnp.zeros((q, Dmax, PAD, B), jnp.int8)
 
     kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows)
@@ -307,39 +316,47 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
 
     trials0 = jnp.full((B,), n_iters, jnp.int32)
     done0 = jnp.zeros((B,), bool)
+    bad0 = jnp.full((B,), 1, jnp.int32)   # "unknown" until the first sweep
 
     def body(carry):
-        post, msgs, trials, done, it = carry
+        post, msgs, trials, done, lastbad, it = carry
         post, msgs, bad = sweep(g_t, s_t, f_t, post, msgs)
         now_ok = bad[0] == 0
         trials = jnp.where(~done & now_ok, it + 1, trials)
         done = done | now_ok
-        return post, msgs, trials, done, it + 1
+        return post, msgs, trials, done, bad[0], it + 1
 
     if early_exit:
         def cond(carry):
-            *_, done, it = carry
+            *_, done, lastbad, it = carry
             # sum-reduction, not jnp.all: axis reductions of other
             # kinds inside while_loop have SIGSEGV'd this target's
             # compiler before (CLAUDE.md: jnp.prod)
             n_open = jnp.sum(1 - done.astype(jnp.int32))
             return (it < n_iters) & (n_open > 0)
-        post, msgs, trials, done, _ = jax.lax.while_loop(
-            cond, body, (post, msgs, trials0, done0, jnp.int32(0)))
+        post, msgs, trials, done, lastbad, _ = jax.lax.while_loop(
+            cond, body, (post, msgs, trials0, done0, bad0, jnp.int32(0)))
     else:
         def one(carry, _):
             return body(carry), 0
-        (post, msgs, trials, done, _), _ = jax.lax.scan(
-            one, (post, msgs, trials0, done0, jnp.int32(0)), None,
+        (post, msgs, trials, done, lastbad, _), _ = jax.lax.scan(
+            one, (post, msgs, trials0, done0, bad0, jnp.int32(0)), None,
             length=n_iters)
     del msgs
 
-    hard = (post[perm] < 0).astype(jnp.uint8).T        # [B, N]
+    p3 = post.reshape(G + q, PAD, B)[:, :LANES, :]
+    hard = post_to_hard(p3, G, q)                      # [B, N]
 
-    # syndrome count per frame (XLA, same formulation as ldpc_qc)
+    if syndrome == "kernel":
+        # converged frames exited with a zero online count; frames that
+        # never converged keep their last (nonzero) sweep count
+        bad = jnp.where(done, 0, lastbad)
+        return hard, bad, trials
+
+    # syndrome count per frame (exact recompute in XLA, as ldpc_qc does)
     t = qc_tables(table)
     layers = t["layers"]
-    postf = post.reshape(G + q, PAD, B)[:, :LANES, :].astype(jnp.int32)
+    postf = p3.astype(jnp.int32)
     col0 = (jax.lax.broadcasted_iota(jnp.int32, (LANES, B), 0) == 0)
     bad = jnp.zeros(B, jnp.int32)
     for r in range(q):

@@ -62,6 +62,33 @@ def qc_tables(table: str):
                 N=code.N, K=code.K)
 
 
+def llr_to_post(llr: jax.Array, G: int, q: int) -> jax.Array:
+    """[B, N] codeword order -> POST layout [G+q, 360, B], gather-free.
+
+    The QC permutation is structured: info bit i -> (i//360, i%360)
+    (a plain reshape) and parity bit a = r + q*c -> (G+r, c) (a [360, q]
+    -> [q, 360] transpose). Expressing it this way instead of
+    `.at[perm].set` matters on TPU, where a 64800-row scatter/gather
+    serializes (CLAUDE.md) while reshape+transpose are free/cheap
+    relayouts.
+    """
+    B = llr.shape[0]
+    K = G * LANES
+    info = llr[:, :K].T.reshape(G, LANES, B)
+    par = jnp.transpose(llr[:, K:].reshape(B, LANES, q), (2, 1, 0))
+    return jnp.concatenate([info, par], axis=0)
+
+
+def post_to_hard(post: jax.Array, G: int, q: int) -> jax.Array:
+    """POST layout [G+q, 360, B] -> hard bits [B, N] (inverse of
+    llr_to_post on the sign)."""
+    B = post.shape[-1]
+    info = (post[:G].reshape(G * LANES, B) < 0).astype(jnp.uint8).T
+    par = (jnp.transpose(post[G:], (2, 1, 0)) < 0
+           ).astype(jnp.uint8).reshape(B, q * LANES)
+    return jnp.concatenate([info, par], axis=1)
+
+
 def to_qc_layout(llr: np.ndarray, table: str) -> np.ndarray:
     """[B, N] -> [G+q, 360, B] (numpy helper)."""
     t = qc_tables(table)
@@ -98,11 +125,8 @@ def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
     """
     t = qc_tables(table)
     G, q = t["G"], t["q"]
-    perm = jnp.asarray(t["perm"])
     B, N = llr.shape
-    flat = jnp.zeros(((G + q) * LANES, B), jnp.float32)
-    flat = flat.at[perm].set(llr.T.astype(jnp.float32))
-    post = flat.reshape(G + q, LANES, B)
+    post = llr_to_post(llr.astype(jnp.float32), G, q)
 
     layers = t["layers"]
 
@@ -202,8 +226,7 @@ def decode_qc(llr: jax.Array, table: str, n_iters: int = 16,
             (0 * llr[:, 0]).astype(jnp.int32)
     bad = syndrome_bad(post)
 
-    hard_flat = (post.reshape(-1, B) < 0).astype(jnp.uint8)
-    hard = hard_flat[perm].T
+    hard = post_to_hard(post, G, q)
     return hard, bad, trials
 
 

@@ -60,11 +60,19 @@ def test_fir_filter_mxu_matches_shift_and_add():
         x = (rng.normal(size=n) + 1j * rng.normal(size=n)
              ).astype(np.complex64)
         taps = rrc_taps(K, 0.35, 2.0)
-        new = np.asarray(jax.jit(
-            lambda a, t=taps: frontend.fir_filter(a, t))(jnp.asarray(x)))
+        exact = np.asarray(jax.jit(
+            lambda a, t=taps: frontend.fir_filter(a, t, bf16=False)
+        )(jnp.asarray(x)))
         old = np.asarray(jax.jit(
             lambda a, t=taps: old_fir(a, t))(jnp.asarray(x)))
-        assert np.abs(new - old).max() < 2e-5
+        assert np.abs(exact - old).max() < 2e-5
+        # default bf16 path: 8-bit-mantissa products, f32 accumulation —
+        # per-sample error must stay ~40 dB below the unit-power signal
+        # (the operating channel noise floor is at -5..-10 dB)
+        fast = np.asarray(jax.jit(
+            lambda a, t=taps: frontend.fir_filter(a, t))(jnp.asarray(x)))
+        assert np.abs(fast - old).max() < 0.05
+        assert np.sqrt(np.mean(np.abs(fast - old) ** 2)) < 0.02
 
 
 def test_resample_half_grid_matches_brute_force():
