@@ -55,6 +55,11 @@ def main(argv=None):
     ap.add_argument("--auto-modcod", action="store_true")
     ap.add_argument("--block-symbols", type=int, default=1 << 17)
     ap.add_argument("--ldpc-trials", type=int, default=32)
+    ap.add_argument("--fec", default="xla", choices=["xla", "pallas"],
+                    help="LDPC decoder: xla (any block size) or the "
+                         "int8 B=128 Pallas kernel (lane-padded; use "
+                         "with large --block-symbols for kernel-class "
+                         "throughput on TPU)")
     ap.add_argument("--udp", default=None, help="host:port UDP sink")
     ap.add_argument("--udp-idle-timeout", type=float, default=5.0,
                     help="with --iq udp://, stop after this many seconds "
@@ -102,7 +107,8 @@ def main(argv=None):
         return DVBS2Stream(mc=mc, short=short, pilots=pilots,
                            block_symbols=args.block_symbols,
                            auto_modcod=args.auto_modcod,
-                           max_ldpc_trials=args.ldpc_trials)
+                           max_ldpc_trials=args.ldpc_trials,
+                           fec=args.fec)
 
     def make_emit(snk):
         if snk is None:
@@ -113,6 +119,20 @@ def main(argv=None):
     sinks = [make_sink(ci) for ci in range(C)]
     emits = [make_emit(s) for s in sinks]
     stream, out_sink, emit = streams[0], sinks[0], emits[0]
+
+    if args.mode == "s2":
+        # persist a successful auto-MODCOD vote, as the reference does
+        # after reconfiguring (main.cpp:383-408 writes the voted modcod
+        # back through config.acquire/release)
+        def _persist_modcod(cfg, _cf=cfgfile):
+            _cf["dvbs2_constellation"] = cfg.constellation
+            _cf["dvbs2_coderate"] = cfg.rate
+            _cf["dvbs2_framesize"] = cfg.framesize
+            _cf["dvbs2_pilots"] = cfg.pilots
+            print(f"auto-modcod: switched to {cfg.modcod} "
+                  f"{cfg.framesize} pilots={cfg.pilots} (persisted)",
+                  file=sys.stderr)
+        streams[0].on_modcod_switch = _persist_modcod
 
     chunk0 = 4 * args.block_symbols
     if args.iq.startswith("udp://"):

@@ -64,6 +64,29 @@ class BBFrameParser:
         self.last_bb_proc = 0
         self.last_gse_crc_err = False
 
+    def get_state(self) -> dict:
+        """Opaque mutable-state snapshot (checkpoint/resume); same API
+        as NativeTSParser.get_state (different encoding)."""
+        return dict(synched=self.synched, count=self.count,
+                    partial=self.partial.copy(),
+                    gse_active=list(self.gse_active),
+                    gse_id=list(self.gse_id),
+                    gse_proto=list(self.gse_proto),
+                    gse_buf=[bytes(b) for b in self.gse_buf],
+                    gse_crc=list(self.gse_crc),
+                    last_header=self.last_header)
+
+    def set_state(self, st: dict):
+        self.synched = st["synched"]
+        self.count = st["count"]
+        self.partial = st["partial"].copy()
+        self.gse_active = list(st["gse_active"])
+        self.gse_id = list(st["gse_id"])
+        self.gse_proto = list(st["gse_proto"])
+        self.gse_buf = [bytearray(b) for b in st["gse_buf"]]
+        self.gse_crc = list(st["gse_crc"])
+        self.last_header = st["last_header"]
+
     def mark_gap(self):
         """Signal that one or more BBFRAMEs were lost upstream (LDPC/BCH
         failure or stream discontinuity): drop partial reassembly and

@@ -43,6 +43,16 @@ def available() -> bool:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.tsparser_mark_gap.argtypes = [ctypes.c_void_p]
+        lib.tsparser_last_header.restype = ctypes.c_int
+        lib.tsparser_last_header.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.tsparser_state_size.restype = ctypes.c_long
+        lib.tsparser_state_size.argtypes = [ctypes.c_void_p]
+        lib.tsparser_get_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.tsparser_set_state.restype = ctypes.c_int
+        lib.tsparser_set_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         globals()["_lib"] = lib
     return _lib is not None
 
@@ -104,6 +114,28 @@ class NativeTSParser:
     @property
     def last_bb_proc(self):
         return int(_lib.tsparser_bb_proc(self._h))
+
+    @property
+    def last_header(self):
+        """Latest validated BBHEADER (metrics), or None."""
+        hdr = np.zeros(10, np.uint8)
+        if not _lib.tsparser_last_header(self._h, _ptr(hdr)):
+            return None
+        from ..spec import bbheader
+        return bbheader.BBHeader.parse(hdr)
+
+    def get_state(self) -> bytes:
+        """Serialized mutable parser state (checkpoint/resume)."""
+        n = _lib.tsparser_state_size(self._h)
+        buf = np.empty(n, np.uint8)
+        _lib.tsparser_get_state(self._h, _ptr(buf))
+        return buf.tobytes()
+
+    def set_state(self, blob: bytes):
+        buf = np.frombuffer(blob, np.uint8).copy()
+        rc = _lib.tsparser_set_state(self._h, _ptr(buf), len(buf))
+        if rc != 0:
+            raise ValueError("corrupt TS-parser state blob")
 
     def mark_gap(self):
         _lib.tsparser_mark_gap(self._h)

@@ -15,7 +15,18 @@ import numpy as np
 
 from ..spec import modcod
 from ..io.bbframe_parser import BBFrameParser
+from ..io import native as _native
 from .dvbs2 import DVBS2Receiver
+
+
+def make_bbframe_parser(kbch: int):
+    """Native C++ BBFrame TS/GSE parser when built (make -C native) —
+    the reference's host tail is C++ (bbframe_ts_parser.cpp:104-388)
+    and the python state machine cannot sustain the device rate —
+    falling back to the pure-python implementation otherwise."""
+    if _native.available():
+        return _native.NativeTSParser(kbch)
+    return BBFrameParser(kbch)
 
 
 @dataclasses.dataclass
@@ -45,10 +56,15 @@ class DVBS2Stream:
 
     def __init__(self, mc: int = 4, short: bool = False, pilots: bool = False,
                  block_symbols: int = 1 << 17, auto_modcod: bool = False,
-                 max_ldpc_trials: int = 32):
+                 max_ldpc_trials: int = 32, fec: str = "xla"):
         self.auto_modcod = auto_modcod
         self.block_symbols = block_symbols
         self.max_ldpc_trials = max_ldpc_trials
+        self.fec = fec
+        # called with the new ModcodConfig after a successful auto-MODCOD
+        # switch — the CLI hooks this to persist the vote to Config, as
+        # the reference persists after reconfigure (main.cpp:383-408)
+        self.on_modcod_switch = None
         self._fifo = np.zeros(0, np.complex64)
         self._vote = collections.deque(maxlen=50)
         self.metrics = Metrics()
@@ -59,9 +75,10 @@ class DVBS2Stream:
     def _configure(self, mc: int, short: bool, pilots: bool):
         self.rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
                                 block_symbols=self.block_symbols,
-                                max_ldpc_trials=self.max_ldpc_trials)
+                                max_ldpc_trials=self.max_ldpc_trials,
+                                fec=self.fec)
         self.cfg = self.rx.cfg
-        self.parser = BBFrameParser(self.cfg.kbch)
+        self.parser = make_bbframe_parser(self.cfg.kbch)
         self._pending = None         # (rx, device outputs) of dispatched block
         self._next_adv = 2 * self.rx.n_frames * self.cfg.plframe_len
 
@@ -145,15 +162,25 @@ class DVBS2Stream:
         """Feed the block's good BBFRAMEs to the TS/GSE parser, marking
         an explicit gap wherever a frame failed (see
         BBFrameParser.mark_gap) so packet reassembly realigns at the
-        next SYNCD instead of silently concatenating across the hole."""
+        next SYNCD instead of silently concatenating across the hole.
+        Consecutive good frames are fed as one batch (in the common
+        all-good block that is a single native parser call)."""
         out = bytearray()
+        ok = np.asarray(res.frame_ok)
         fi = 0
-        for okf in res.frame_ok:
-            if okf:
-                out.extend(self.parser.feed(res.bbframes[fi:fi + 1]))
-                fi += 1
-            else:
+        i = 0
+        while i < len(ok):
+            if not ok[i]:
                 self.parser.mark_gap()
+                i += 1
+                continue
+            j = i
+            while j < len(ok) and ok[j]:
+                j += 1
+            run = j - i
+            out.extend(self.parser.feed(res.bbframes[fi:fi + run]))
+            fi += run
+            i = j
         return bytes(out)
 
     def _update_metrics(self, res):
@@ -179,21 +206,22 @@ class DVBS2Stream:
     # -- loop-state checkpointing (SURVEY.md sec. 5: all mutable DSP state
     # is a small pytree; config + this dict give seamless restart) --------
     def get_state(self) -> dict:
+        """Snapshot for seamless restart. An in-flight dispatched block
+        (self._pending) is deliberately NOT captured: its samples are
+        still at the head of the FIFO (feed() trims only after
+        finalize), so restoring re-dispatches the same block — only its
+        device compute is repeated, no data is lost."""
         return dict(pls_code=self.cfg.pls_code,
                     vote=list(self._vote),
                     fifo=self._fifo.copy(),
-                    parser_count=self.parser.count,
-                    parser_partial=self.parser.partial.copy(),
-                    parser_synched=self.parser.synched)
+                    parser_state=self.parser.get_state())
 
     def set_state(self, st: dict):
         cfg = modcod.from_pls_code(st["pls_code"])
         self._configure(cfg.modcod, cfg.framesize == "short", cfg.pilots)
         self._vote = collections.deque(st["vote"], maxlen=50)
         self._fifo = st["fifo"].copy()
-        self.parser.count = st["parser_count"]
-        self.parser.partial = st["parser_partial"].copy()
-        self.parser.synched = st["parser_synched"]
+        self.parser.set_state(st["parser_state"])
 
     def _maybe_switch_modcod(self, res) -> bool:
         """50-frame consistency vote (main.cpp:383-408). Returns True if
@@ -222,6 +250,8 @@ class DVBS2Stream:
             try:
                 self._configure(mc, short, pilots)
                 self._vote.clear()
+                if self.on_modcod_switch is not None:
+                    self.on_modcod_switch(self.cfg)
                 return True
             except ValueError:
                 pass

@@ -55,12 +55,24 @@ class DVBS2Receiver:
     def __init__(self, mc: int = 4, short: bool = True, pilots: bool = False,
                  block_symbols: int = 1 << 15, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6, g1: float | None = None,
-                 g2: float | None = None, equalize: bool = False):
+                 g2: float | None = None, equalize: bool = False,
+                 fec: str = "xla", interpret_pallas: bool = False):
+        """fec: "xla" runs the VMEM-scheduled decode_qc (any frame
+        count); "pallas" routes EVERY decode through the int8 B=128
+        kernel (ops/ldpc_pallas) — the one-decoder-for-all-paths
+        layout of the reference (bbframe_ldpc.cpp:123-139). Short
+        blocks are lane-padded by cyclic repetition (repeated frames
+        converge like their originals, so the early-exit gate still
+        works); blocks beyond 128 frames decode in 128-lane tiles."""
+        if fec not in ("xla", "pallas"):
+            raise ValueError(f"unknown fec {fec!r}")
         self.cfg = modcod.get_config(mc, short=short, pilots=pilots)
         self.block_symbols = block_symbols
         self.max_ldpc_trials = max_ldpc_trials
         self.sof_threshold = sof_threshold
         self.equalize = equalize
+        self.fec = fec
+        self.interpret_pallas = interpret_pallas
         L = self.cfg.plframe_len
         self.edge_margin = 256
         self.n_frames = (block_symbols - 2 * self.edge_margin - 90) // L - 1
@@ -150,16 +162,45 @@ class DVBS2Receiver:
         # LDPC + BCH run as separate programs: embedded in the big block
         # program the QC decoder loses its all-VMEM schedule (~100x slower);
         # chaining jit calls keeps the data on device with no host hop.
+        # BB descrambling is a fixed byte XOR — do it on device so the
+        # host never touches clean frames (the reference's host loop
+        # XORs a precomputed table, bbframe_descramble.cpp:122-143)
+        bb_mask = scrambling.bb_scrambler_byte_mask(cfg.kbch // 8)
+
+        def ldpc_decode(llrs, n_iters):
+            if self.fec == "xla":
+                return ldpc_qc.decode_qc(llrs, cfg.ldpc_table,
+                                         n_iters=n_iters)
+            from ..ops import ldpc_pallas
+            Bk = ldpc_pallas.B
+            F_in = llrs.shape[0]
+            outs = []
+            for lo in range(0, F_in, Bk):
+                chunk = llrs[lo:lo + Bk]
+                c = chunk.shape[0]
+                if c < Bk:
+                    # cyclic lane padding: repeated frames converge like
+                    # their originals, so the in-kernel early exit and
+                    # online syndrome behave as if the batch were full
+                    chunk = jnp.tile(chunk, (-(-Bk // c), 1))[:Bk]
+                h, nb, tr = ldpc_pallas.decode_qc_pallas(
+                    ldpc_pallas.quantize_llrs(chunk), cfg.ldpc_table,
+                    n_iters=n_iters, interpret=self.interpret_pallas)
+                outs.append((h[:c], nb[:c], tr[:c]))
+            return tuple(jnp.concatenate([o[i] for o in outs])
+                         for i in range(3))
+
         def make_fec(n_iters):
             @jax.jit
             def fec(llrs):
-                hard, n_bad, trials = ldpc_qc.decode_qc(
-                    llrs, cfg.ldpc_table, n_iters=n_iters)
+                hard, n_bad, trials = ldpc_decode(llrs, n_iters)
                 ok = n_bad == 0
                 bch_bad = bch.syndrome_nonzero(hard[:, :cfg.nbch],
                                                cfg.framesize, cfg.rate)
+                kbch_bytes = frontend.pack_bits_to_bytes(
+                    hard[:, :cfg.kbch]) ^ bb_mask
                 return dict(hard=hard, trials=trials, ldpc_ok=ok,
-                            bch_bad=bch_bad)
+                            bch_bad=bch_bad, kbch_bytes=kbch_bytes)
             return fec
 
         # two-pass escalation (the host-level analogue of the reference's
@@ -194,55 +235,60 @@ class DVBS2Receiver:
 
     def finalize_block(self, out) -> BlockResult:
         """Fetch a dispatched block's device outputs and run the host
-        side (escalation rerun, BCH repair, BB descramble)."""
+        side (escalation rerun + rare BCH repair).
+
+        The clean path is all-vectorized: frames arrive as descrambled
+        kbch bytes packed on device; the [F, nldpc] hard-bit tensor
+        stays device-resident and only the rows of BCH-flagged frames
+        are ever fetched for host repair."""
         cfg = self.cfg
         llrs = out.pop("_llrs", None)
-        out = jax.device_get(out)   # one batched fetch
+        hard_dev = out.pop("hard")
+        out = jax.device_get(out)   # one batched fetch (small fields)
+        F = out["ldpc_ok"].shape[0]
+        retried = np.zeros(F, bool)
+        hard2_dev = None
         if llrs is not None:
             retry = (~out["ldpc_ok"]) & \
                 (np.asarray(out["quality"]) >= self.sof_threshold)
             if retry.any():
-                out2 = jax.device_get(self._fec2_fn(llrs))
-                for k in ("hard", "ldpc_ok", "bch_bad"):
+                out2 = self._fec2_fn(llrs)
+                hard2_dev = out2.pop("hard")
+                out2 = jax.device_get(out2)
+                for k in ("ldpc_ok", "bch_bad", "kbch_bytes"):
                     out[k] = np.where(
                         retry.reshape((-1,) + (1,) * (out[k].ndim - 1)),
                         out2[k], out[k])
                 out["trials"] = np.where(
                     retry, self.pass1_iters + out2["trials"], out["trials"])
-        hard = out["hard"]
+                retried = retry
         trials = out["trials"]
         ldpc_ok = out["ldpc_ok"]
-        F = hard.shape[0]
+        plain = np.array(out["kbch_bytes"])   # descrambled on device
 
         bch_bad = np.asarray(out["bch_bad"])
         # frame acceptance gate at the PL-sync correlation quality, like the
         # reference (SOF_THRES 0.6, dvbs2_pl_sync.cpp:133-149): sub-threshold
         # frames are noise — reject before spending host BCH work on them
         sync_ok = np.asarray(out["quality"]) >= self.sof_threshold
-        bbframes = []
         bch_corr = np.full(F, -1, np.int32)
-        frame_ok = np.zeros(F, bool)
-        for f in range(F):
-            if not sync_ok[f]:
-                continue
-            if not bch_bad[f]:
-                # clean per the on-device GF(2) syndrome matmul: no host work
-                bits, ncorr = hard[f, :cfg.nbch], 0
-            else:
-                bits, ncorr = bch_spec.decode(hard[f, :cfg.nbch],
-                                              cfg.framesize, cfg.rate)
+        frame_ok = sync_ok & ~bch_bad
+        bch_corr[frame_ok] = 0
+        for f in np.nonzero(sync_ok & bch_bad)[0]:
+            hd = hard2_dev if retried[f] else hard_dev
+            bits = np.asarray(jax.device_get(hd[f, :cfg.nbch]))
+            fixed, ncorr = bch_spec.decode(bits, cfg.framesize, cfg.rate)
             bch_corr[f] = ncorr
             if ncorr < 0 and not ldpc_ok[f]:
                 continue
-            if ncorr < 0:
-                # LDPC converged but BCH claims failure: trust LDPC output
-                bits = hard[f, :cfg.nbch]
             frame_ok[f] = True
-            payload_bytes = np.packbits(bits[:cfg.kbch])
-            bbframes.append(scrambling.bb_scramble_bytes(payload_bytes))
+            if ncorr >= 0:
+                plain[f] = scrambling.bb_scramble_bytes(
+                    np.packbits(fixed[:cfg.kbch]))
+            # ncorr < 0 but LDPC converged: trust the LDPC output
+            # already in plain[f]
         return BlockResult(
-            bbframes=np.stack(bbframes) if bbframes else
-            np.zeros((0, cfg.kbch // 8), np.uint8),
+            bbframes=plain[frame_ok],
             frame_ok=frame_ok,
             sync_quality=np.asarray(out["quality"]),
             freq_err=np.asarray(out["freq"]),

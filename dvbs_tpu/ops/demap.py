@@ -25,13 +25,19 @@ import numpy as np
 
 from ..spec import constellations, modcod
 
-# (sample_scale, point_scale): reference const_amp*const_prescale applied to
-# the sample, and the point table's own magnitude relative to unit power.
+# (sample_scale, point_scale, llr_scale): reference
+# const_amp*const_prescale applied to the sample, the point table's own
+# magnitude relative to unit power, and const_sca. NOTE the reference
+# overrides const_sca to 1 for the APSK types (constellation.cpp:60,95)
+# — their distances are already in a ~50x domain (const_amp=100, radii
+# halved) so the log-ratios come out at int8 scale without the x50.
+# Cross-checked against the compiled reference demapper per
+# constellation in tests/test_interop.py.
 _SCALES = {
-    modcod.QPSK: (3.0, 2.0),
-    modcod.PSK8: (1.0, 1.0),
-    modcod.APSK16: (53.0, 50.0),
-    modcod.APSK32: (54.0, 50.0),
+    modcod.QPSK: (3.0, 2.0, 50.0),
+    modcod.PSK8: (1.0, 1.0, 50.0),
+    modcod.APSK16: (53.0, 50.0, 1.0),
+    modcod.APSK32: (54.0, 50.0, 1.0),
 }
 
 
@@ -65,7 +71,7 @@ def soft_demap(syms: jax.Array, kind: str, g1: float | None = None,
     formula evaluated exactly.
     """
     pts, mask0 = _tables(kind, g1, g2)
-    ss, ps = _SCALES[kind]
+    ss, ps, sca = _SCALES[kind]
     x = syms[..., None] * ss                              # [..., 1]
     d = jnp.abs(x - jnp.asarray(pts) * ps)                # [..., S]
     neg = -d / npwr
@@ -76,7 +82,7 @@ def soft_demap(syms: jax.Array, kind: str, g1: float | None = None,
         zmax = jnp.max(z, axis=-1, keepdims=True)
         return (jnp.log(jnp.sum(jnp.exp(z - zmax), axis=-1)) +
                 zmax[..., 0])
-    llr = (lse(m0) - lse(~m0)) * 50.0                     # [..., m]
+    llr = (lse(m0) - lse(~m0)) * sca                      # [..., m]
     return _clamp_halving(llr).astype(jnp.float32)
 
 

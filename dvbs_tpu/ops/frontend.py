@@ -133,7 +133,11 @@ def fir_filter(x: jax.Array, taps: np.ndarray,
     4..8-bit quantized IQ well below the AWGN floor, so the bf16
     rounding (8-bit mantissa per product) is invisible next to channel
     noise while costing 6x less MXU time than a HIGHEST-precision f32
-    matmul (which decomposes into 6 bf16 passes). Short filters/blocks
+    matmul (which decomposes into 6 bf16 passes). This covers every
+    MXU-path caller — the RRC matched filter AND the timing-recovery
+    interpolators (_mid_taps K=24, _halfband_taps K=47); the bf16
+    error bound is asserted on all three tap sets in
+    tests/test_frontend_ops.py. Short filters/blocks
     use static shift-and-add (single-channel 1-D convolution lowers
     terribly on TPU; K shifted multiply-adds vectorize on the VPU but
     cost K full passes).

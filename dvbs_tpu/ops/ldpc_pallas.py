@@ -348,9 +348,12 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     hard = post_to_hard(p3, G, q)                      # [B, N]
 
     if syndrome == "kernel":
-        # converged frames exited with a zero online count; frames that
-        # never converged keep their last (nonzero) sweep count
-        bad = jnp.where(done, 0, lastbad)
+        # the FINAL sweep's online count, unconditionally: it is 0 for
+        # frames that converged and stayed clean, and faithfully nonzero
+        # for frames whose posteriors were pushed off the codeword by
+        # later sweeps run for the rest of the batch (forcing 0 for
+        # ever-converged frames would hide those — ADVICE r2)
+        bad = lastbad
         return hard, bad, trials
 
     # syndrome count per frame (exact recompute in XLA, as ldpc_qc does)

@@ -128,11 +128,17 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     else:
         vm_core = jax.jit(jax.vmap(core))
 
+    from ..spec import scrambling
+    bb_mask = scrambling.bb_scrambler_byte_mask(kbch // 8)
+
     def pack_and_check(hard):
+        # kbch_bytes come back BB-descrambled (fixed byte-mask XOR on
+        # device, bbframe_descramble.cpp:122-143) — the host tail goes
+        # straight to the TS/GSE parser
         from ..ops import bch, frontend
         bch_bad = bch.syndrome_nonzero(hard[:, :rx.cfg.nbch],
                                        rx.cfg.framesize, rx.cfg.rate)
-        packed = frontend.pack_bits_to_bytes(hard[:, :kbch])
+        packed = frontend.pack_bits_to_bytes(hard[:, :kbch]) ^ bb_mask
         return packed, bch_bad
 
     @jax.jit

@@ -87,14 +87,20 @@ def bb_scrambler_bits(nbits: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache()
+def bb_scrambler_byte_mask(nbytes: int) -> np.ndarray:
+    """The PRBS packed MSB-first into bytes: XOR with a BBFRAME payload
+    (de)scrambles it. The reference precomputes the same byte table
+    (bbframe_descramble.cpp:122-143). [nbytes] uint8."""
+    bits = bb_scrambler_bits(nbytes * 8).reshape(nbytes, 8)
+    weights = (1 << np.arange(7, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=1).astype(np.uint8)
+
+
 def bb_scramble_bytes(data: np.ndarray) -> np.ndarray:
     """XOR a packed-byte BBFRAME payload with the PRBS (involution).
     data: [..., nbytes] uint8."""
-    nbytes = data.shape[-1]
-    bits = bb_scrambler_bits(nbytes * 8).reshape(nbytes, 8)
-    weights = (1 << np.arange(7, -1, -1)).astype(np.uint8)
-    mask = (bits * weights).sum(axis=1).astype(np.uint8)
-    return data ^ mask
+    return data ^ bb_scrambler_byte_mask(data.shape[-1])
 
 
 # ---------------------------------------------------------------------------

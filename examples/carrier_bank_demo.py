@@ -41,7 +41,9 @@ for c in range(C):
                        delay_samples=0.13 * c, seed=60 + c)
     assert len(y) >= n, f"carrier {c}: {len(y)} < {n} samples"
     rng_sigs.append(y[:n])
-    sents.append(bb.tobytes())
+    # kbch_bytes come back BB-descrambled from the device: compare plaintext
+    from dvbs_tpu.spec import scrambling
+    sents.append(scrambling.bb_scramble_bytes(bb).tobytes())
 
 
 def to_cs8(y):

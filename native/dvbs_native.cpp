@@ -152,6 +152,8 @@ struct TSParser {
     long bb_cnt = 0;
     GSESlot gse[3];
     bool gse_crc_err = false;
+    uint8_t last_hdr[10] = {0};   // latest validated BBHEADER (metrics)
+    bool has_hdr = false;
 };
 
 static uint32_t crc32_tab_[256];
@@ -332,6 +334,8 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out,
             p->synched = false;
             continue;
         }
+        memcpy(p->last_hdr, bbf, 10);   // metrics side channel
+        p->has_hdr = true;
         if (ts_gs == 0b01) {
             // GSE (generic continuous), mirrored from the python parser
             p->bb_proc++;
@@ -391,6 +395,75 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out,
         }
     }
     return out_p;
+}
+
+// latest validated BBHEADER (10 raw bytes); returns 0 if none seen yet
+int tsparser_last_header(void* h, uint8_t* hdr10) {
+    auto* p = static_cast<TSParser*>(h);
+    if (!p->has_hdr) return 0;
+    memcpy(hdr10, p->last_hdr, 10);
+    return 1;
+}
+
+// ---- checkpoint/resume: serialize the parser's mutable state --------
+// blob layout: synched(1) has_hdr(1) gse_crc_err(1) count(le32)
+//              partial[188] last_hdr[10]
+//              3x { active(1) frag(1) proto(le16) crc(le32) len(le32) buf }
+
+static void put32(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back(x & 0xFF); v.push_back((x >> 8) & 0xFF);
+    v.push_back((x >> 16) & 0xFF); v.push_back((x >> 24) & 0xFF);
+}
+static uint32_t get32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+           ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+long tsparser_state_size(void* h) {
+    auto* p = static_cast<TSParser*>(h);
+    long n = 3 + 4 + 188 + 10;
+    for (int i = 0; i < 3; i++) n += 1 + 1 + 2 + 4 + 4 + (long)p->gse[i].buf.size();
+    return n;
+}
+
+void tsparser_get_state(void* h, uint8_t* out) {
+    auto* p = static_cast<TSParser*>(h);
+    std::vector<uint8_t> v;
+    v.push_back(p->synched); v.push_back(p->has_hdr);
+    v.push_back(p->gse_crc_err);
+    put32(v, (uint32_t)p->count);
+    v.insert(v.end(), p->partial, p->partial + 188);
+    v.insert(v.end(), p->last_hdr, p->last_hdr + 10);
+    for (int i = 0; i < 3; i++) {
+        const GSESlot& sl = p->gse[i];
+        v.push_back(sl.active); v.push_back(sl.frag_id);
+        v.push_back(sl.proto & 0xFF); v.push_back((sl.proto >> 8) & 0xFF);
+        put32(v, sl.crc);
+        put32(v, (uint32_t)sl.buf.size());
+        v.insert(v.end(), sl.buf.begin(), sl.buf.end());
+    }
+    memcpy(out, v.data(), v.size());
+}
+
+int tsparser_set_state(void* h, const uint8_t* in, long n) {
+    auto* p = static_cast<TSParser*>(h);
+    long q = 0;
+    if (n < 3 + 4 + 188 + 10) return -1;
+    p->synched = in[q++]; p->has_hdr = in[q++]; p->gse_crc_err = in[q++];
+    p->count = (int)get32(in + q); q += 4;
+    memcpy(p->partial, in + q, 188); q += 188;
+    memcpy(p->last_hdr, in + q, 10); q += 10;
+    for (int i = 0; i < 3; i++) {
+        if (q + 12 > n) return -1;
+        GSESlot& sl = p->gse[i];
+        sl.active = in[q++]; sl.frag_id = in[q++];
+        sl.proto = (unsigned)in[q] | ((unsigned)in[q + 1] << 8); q += 2;
+        sl.crc = get32(in + q); q += 4;
+        uint32_t len = get32(in + q); q += 4;
+        if (q + (long)len > n) return -1;
+        sl.buf.assign(in + q, in + q + len); q += len;
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -31,6 +31,7 @@
 #include <vector>
 
 #include "dvbs2/dvbs2.h"
+#include "common/dsp/demod/constellation.h"
 #include "dvbs2/codings/bbframe_ldpc.h"
 #include "dvbs2/codings/bbframe_bch.h"
 #include "dvbs2/codings/bbframe_descramble.h"
@@ -224,6 +225,24 @@ int ref_rs_decode(uint8_t *data204) {
     return rs.decode(data204);
 }
 
+// RS(204,188) ENCODE through libcorrect with the exact parameters the
+// reference's decoder uses (dvbs_reedsolomon.h:17: poly 8_4_3_2_0,
+// fcr 0, root gap 1, 16 roots; shortened by 51 leading zeros) — lets
+// interop tests build DVB-S captures whose RS parity came from the
+// reference's own codec.
+int ref_rs_encode(const uint8_t *data188, uint8_t *out204) {
+    static correct_reed_solomon *rs = correct_reed_solomon_create(
+        correct_rs_primitive_polynomial_8_4_3_2_0, 0, 1, 16);
+    uint8_t buf[239];
+    uint8_t enc[255];
+    memset(buf, 0, 51);
+    memcpy(buf + 51, data188, 188);
+    ssize_t n = correct_reed_solomon_encode(rs, buf, 239, enc);
+    if (n != 255) return -1;
+    memcpy(out204, enc + 51, 204);
+    return 0;
+}
+
 // ------------------------------------------- Forney deinterleaver
 void *ref_forney_create() { return new dsp::dvbs::DVBSInterleaving(); }
 void ref_forney_destroy(void *h) { delete (dsp::dvbs::DVBSInterleaving *)h; }
@@ -282,6 +301,33 @@ void ref_tsparser_header(void *h, int *fields) {
     fields[11] = p->last_bb_cnt;
     fields[12] = p->last_bb_proc;
     fields[13] = p->last_ts_errs;
+}
+
+// --------------------------------------------- soft demapper
+// constellation_t::demod_soft_calc (constellation.cpp:205-270): exact
+// per-bit LLRs with the internal const_amp/const_prescale scale chain,
+// const_sca=50, and the clamp-by-halving int8 conversion. type follows
+// constellation_type_t (0 BPSK, 1 QPSK, 2 OQPSK, 3 PSK8, 4 APSK16,
+// 5 APSK32); g1/g2 are the gamma radii for the APSK types.
+void *ref_constellation_create(int type, float g1, float g2) {
+    return new dsp::constellation_t((dsp::constellation_type_t)type, g1, g2);
+}
+void ref_constellation_destroy(void *h) {
+    delete (dsp::constellation_t *)h;
+}
+int ref_constellation_bits(void *h) {
+    return ((dsp::constellation_t *)h)->getBitsCnt();
+}
+// iq: interleaved re/im floats, n symbols -> out: n*bits int8 LLRs
+// (negative = bit 1, the reference's convention)
+void ref_constellation_demod_soft(void *h, const float *iq, int n,
+                                  float npwr, int8_t *out) {
+    dsp::constellation_t *c = (dsp::constellation_t *)h;
+    int m = c->getBitsCnt();
+    for (int i = 0; i < n; ++i) {
+        dsp::complex_t s{iq[2 * i], iq[2 * i + 1]};
+        c->demod_soft_calc(s, out + (long)i * m, nullptr, npwr);
+    }
 }
 
 // ------------------------------------------------ benchmark handles

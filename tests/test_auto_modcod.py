@@ -20,6 +20,8 @@ def test_auto_modcod_switches_configuration():
 
     stream = DVBS2Stream(mc=4, short=True, pilots=False,
                          block_symbols=1 << 15, auto_modcod=True)
+    switched_to = []
+    stream.on_modcod_switch = lambda cfg: switched_to.append(cfg)
     out = bytearray()
     step = 120000
     for i in range(0, len(y), step):
@@ -27,6 +29,9 @@ def test_auto_modcod_switches_configuration():
     # the PLS detector sees 8PSK 2/3 (pls 54) on every frame; after the
     # 50-frame vote the stream must have reconfigured and started decoding
     assert stream.cfg.modcod == 13, stream.cfg
+    # the persistence hook (CLI writes the vote back to Config, as the
+    # reference does, main.cpp:383-408) fired with the new config
+    assert len(switched_to) == 1 and switched_to[0].modcod == 13
     assert stream.metrics.detected_modcod == 13
     got = np.frombuffer(bytes(out), np.uint8)
     got = got[:len(got) // 188 * 188].reshape(-1, 188)

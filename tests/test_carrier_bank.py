@@ -60,10 +60,14 @@ def test_bank_distinct_carriers_cs8(bank_io):
     kb = out["kbch_bytes"].reshape(CARRIERS, F, -1)
     assert not np.array_equal(kb[0], kb[1])
     # and each carrier's bytes appear in its own TX BBFRAMEs
+    # (kbch_bytes come back BB-descrambled from the device, so compare
+    # against the plaintext frames)
+    from dvbs_tpu.spec import scrambling
     cfg = modcod.get_config(MC, short=SHORT)
     for c, seed in enumerate((7, 8)):
         pkts = dvbs2_mod.random_ts_packets(300, seed=seed)
-        sent = dvbs2_mod.ts_to_bbframes(pkts, cfg).tobytes()
+        sent = scrambling.bb_scramble_bytes(
+            dvbs2_mod.ts_to_bbframes(pkts, cfg)).tobytes()
         got = kb[c].tobytes()
         assert got[:cfg.kbch // 8] in sent
 
@@ -108,7 +112,8 @@ def test_bank_pallas_fec_full_width():
                            delay_samples=0.3, seed=seed)
         assert len(y) >= n
         sigs.append(y[:n])
-        sents.append(bb.tobytes())
+        from dvbs_tpu.spec import scrambling
+        sents.append(scrambling.bb_scramble_bytes(bb).tobytes())
     step, _ = build_carrier_bank(CARRIERS, mc=MC, short=SHORT,
                                  block_symbols=block, fec="pallas",
                                  interpret_pallas=True)

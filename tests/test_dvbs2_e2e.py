@@ -9,7 +9,7 @@ from dvbs_tpu.models.dvbs2 import DVBS2Receiver
 
 def _run_chain(mc=4, short=True, pilots=False, snr_db=6.0, cfo=0.0,
                phase=0.5, delay=0.7, sco_ppm=20.0, n_pkts=200, seed=0,
-               block_symbols=1 << 15):
+               block_symbols=1 << 15, **rx_kw):
     cfg = modcod.get_config(mc, short=short, pilots=pilots)
     pkts = dvbs2_mod.random_ts_packets(n_pkts, seed=seed)
     bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
@@ -18,7 +18,7 @@ def _run_chain(mc=4, short=True, pilots=False, snr_db=6.0, cfo=0.0,
     y = channel.impair(x, snr_db=snr_db, cfo=cfo, phase=phase,
                        delay_samples=delay, sco_ppm=sco_ppm, seed=seed + 1)
     rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
-                       block_symbols=block_symbols)
+                       block_symbols=block_symbols, **rx_kw)
     n = 2 * block_symbols
     assert len(y) >= n, f"need {n} samples, have {len(y)}"
     res = rx.process_symbols_block(y[:n])
@@ -51,6 +51,20 @@ def test_e2e_qpsk12_short_impaired():
                                   delay=0.6, sco_ppm=20.0)
     assert res.frame_ok.all(), (res.ldpc_trials, res.bch_corrections)
     assert _count_matches(res, expect) >= len(res.bbframes) - 1
+
+
+def test_e2e_qpsk12_short_pallas_fec_path():
+    """DVBS2Receiver(fec="pallas"): the stream/CLI route through the
+    int8 B=128 kernel (lane-padded from this block's few frames),
+    interpret mode on CPU. Must produce the same accepted frames as
+    the xla path at the same operating point."""
+    res, expect, cfg = _run_chain(snr_db=6.0, cfo=0.015 * np.pi, phase=0.8,
+                                  delay=0.4, sco_ppm=10.0,
+                                  fec="pallas", interpret_pallas=True,
+                                  max_ldpc_trials=12)
+    assert res.frame_ok.all(), (res.ldpc_trials, res.bch_corrections)
+    assert _count_matches(res, expect) >= len(res.bbframes) - 1
+    assert (res.ldpc_trials >= 1).all() and (res.ldpc_trials < 12).all()
 
 
 def test_e2e_qpsk12_short_near_threshold():

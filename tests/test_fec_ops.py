@@ -4,8 +4,16 @@ import pytest
 
 from dvbs_tpu.spec import modcod, ldpc_spec, bbheader, constellations, interleaver
 from dvbs_tpu.tx import dvbs2_mod, channel
-from dvbs_tpu.ops import ldpc as ldpc_op
+from dvbs_tpu.ops import ldpc_qc
 from dvbs_tpu.ops import demap as demap_op
+
+
+def _decode(llr, table, n_iters=16):
+    """decode_qc with the (hard, trials, ok) convention these tests use."""
+    import jax.numpy as jnp
+    hard, nbad, trials = ldpc_qc.decode_qc(
+        jnp.asarray(llr, jnp.float32), table, n_iters=n_iters)
+    return np.asarray(hard), np.asarray(trials), np.asarray(nbad) == 0
 
 
 def test_ldpc_decode_clean_and_noisy():
@@ -15,15 +23,15 @@ def test_ldpc_decode_clean_and_noisy():
     info = rng.integers(0, 2, (B, code.K)).astype(np.uint8)
     cw = code.encode(info)
     sig = (1 - 2 * cw.astype(np.float32)) * 60
-    # clean: 0 iterations
-    hard, it, ok = ldpc_op.decode_np(sig, "C4")
-    assert np.all(ok) and np.all(it == 0)
+    # clean: the syndrome clears within the first sweep
+    hard, it, ok = _decode(sig, "C4")
+    assert np.all(ok) and np.all(it <= 1)
     np.testing.assert_array_equal(hard, cw)
     # noisy at ~1 dB Es/N0 per bit-channel
     sigma = np.sqrt(10 ** (-0.1))
     y = (1 - 2 * cw.astype(np.float32)) + rng.normal(0, sigma, cw.shape)
     llr = y * 50
-    hard, it, ok = ldpc_op.decode_np(llr.astype(np.float32), "C4", max_trials=60)
+    hard, it, ok = _decode(llr.astype(np.float32), "C4", n_iters=60)
     assert np.all(ok), f"not converged: {it}"
     np.testing.assert_array_equal(hard, cw)
 
@@ -31,7 +39,7 @@ def test_ldpc_decode_clean_and_noisy():
 def test_ldpc_reports_failure_on_garbage():
     rng = np.random.default_rng(1)
     llr = rng.normal(0, 50, (2, 16200)).astype(np.float32)
-    hard, it, ok = ldpc_op.decode_np(llr, "C4", max_trials=8)
+    hard, it, ok = _decode(llr, "C4", n_iters=8)
     assert not ok.any()
     assert np.all(it == 8)
 
@@ -90,8 +98,8 @@ def test_tx_full_frame_roundtrip_to_llrs():
     llrs = np.asarray(demap_op.soft_demap(payload, cfg.constellation)).reshape(-1)
     cw_llr = interleaver.deinterleave_llrs(llrs, cfg.constellation,
                                            cfg.framesize, cfg.rate)
-    hard, it, ok = ldpc_op.decode_np(cw_llr[None, :], cfg.ldpc_table)
-    assert ok[0] and it[0] == 0
+    hard, it, ok = _decode(cw_llr[None, :], cfg.ldpc_table)
+    assert ok[0] and it[0] <= 1
     # info part = BCH codeword of the scrambled bbframe
     from dvbs_tpu.spec import bch_spec
     bits = np.unpackbits(bb[0])

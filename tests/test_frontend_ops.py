@@ -74,6 +74,20 @@ def test_fir_filter_mxu_matches_shift_and_add():
         assert np.abs(fast - old).max() < 0.05
         assert np.sqrt(np.mean(np.abs(fast - old) ** 2)) < 0.02
 
+    # the timing-recovery interpolators also ride the bf16 MXU path
+    # (K=24 half-sample kernel feeding Oerder&Meyr, K=47 halfband):
+    # same error bound applies on those tap sets
+    x = (rng.normal(size=1 << 14) + 1j * rng.normal(size=1 << 14)
+         ).astype(np.complex64)
+    for taps in (frontend._mid_taps(), frontend._halfband_taps()):
+        exact = np.asarray(jax.jit(
+            lambda a, t=taps: frontend.fir_filter(a, t, bf16=False)
+        )(jnp.asarray(x)))
+        fast = np.asarray(jax.jit(
+            lambda a, t=taps: frontend.fir_filter(a, t))(jnp.asarray(x)))
+        assert np.abs(fast - exact).max() < 0.05
+        assert np.sqrt(np.mean(np.abs(fast - exact) ** 2)) < 0.02
+
 
 def test_resample_half_grid_matches_brute_force():
     rng = np.random.default_rng(2)

@@ -148,6 +148,39 @@ def test_kernel_early_exit_matches_full_run(noisy_case):
     np.testing.assert_array_equal(np.asarray(h_ee), np.asarray(h_fx))
 
 
+def test_online_syndrome_agrees_with_exact_at_operating_point(noisy_case):
+    """syndrome="kernel" (the zero-cost in-sweep count the early-exit
+    gate uses, and the default return) vs syndrome="xla" (exact
+    recompute from the final posteriors):
+
+    - with the budget >= convergence (the operating point: early exit
+      runs until the whole batch is clean) the two are IDENTICAL;
+    - under-budget, the online count may only be CONSERVATIVE — it can
+      flag a frame that actually converged during the final sweep
+      (its layers saw pre-update posteriors; escalation retries it),
+      but must never claim a dirty frame clean."""
+    llr, cw = noisy_case
+    _, bk, tk = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=12, interpret=True,
+        syndrome="kernel")
+    _, bx, tx = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=12, interpret=True,
+        syndrome="xla")
+    np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+    assert (np.asarray(bk) == 0).all()
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
+    # under-budget (4 of the ~6 sweeps this batch needs)
+    _, bk4, _ = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=4, interpret=True,
+        syndrome="kernel")
+    _, bx4, _ = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(llr), "C4", n_iters=4, interpret=True,
+        syndrome="xla")
+    ok_k = np.asarray(bk4) == 0
+    ok_x = np.asarray(bx4) == 0
+    assert not (ok_k & ~ok_x).any(), "online count claimed a dirty frame clean"
+
+
 def test_full_range_messages_hit_error_floor(noisy_case):
     """The design constraint itself: msg_clip=127 must FAIL where
     MSG_CLIP succeeds (documents why the cap exists)."""

@@ -122,14 +122,15 @@ def main():
                   flush=True)
 
     # ---- 4. selector span sweep ---------------------------------------
-    for sp in (6, 4):
+    orig_sp = frontend._RESAMPLE_SPAN
+    for sp in (8, 6, 4):
         frontend._RESAMPLE_SPAN = sp
         steps, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
                                       block_symbols=BLOCK, fec="pallas",
                                       ingest="cs4")
         t, out, msg = bank_ms(steps, dev4)
         print(f"bank SP={sp}          {msg}", flush=True)
-    frontend._RESAMPLE_SPAN = 8
+    frontend._RESAMPLE_SPAN = orig_sp
     print("done", flush=True)
 
 

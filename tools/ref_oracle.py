@@ -226,6 +226,39 @@ def sof_symbols() -> np.ndarray:
     return out[::2] + 1j * out[1::2]
 
 
+# --------------------------------------------------- soft demapper
+# constellation_type_t values (constellation.h:9-16)
+_CONST_TYPES = {"bpsk": 0, "qpsk": 1, "oqpsk": 2, "8psk": 3,
+                "16apsk": 4, "32apsk": 5}
+
+
+def constellation_soft_demod(syms: np.ndarray, kind: str,
+                             g1: float = 0.0, g2: float = 0.0,
+                             npwr: float = 1.0) -> np.ndarray:
+    """Reference exact-LLR soft demap (demod_soft_calc,
+    constellation.cpp:205-270) with its internal scale chain and
+    clamp-by-halving. syms: [n] complex around unit power ->
+    [n, mod_bits] int8 (negative = bit 1)."""
+    L = lib()
+    L.ref_constellation_create.restype = ctypes.c_void_p
+    L.ref_constellation_create.argtypes = [ctypes.c_int, ctypes.c_float,
+                                           ctypes.c_float]
+    L.ref_constellation_destroy.argtypes = [ctypes.c_void_p]
+    L.ref_constellation_bits.argtypes = [ctypes.c_void_p]
+    fp = ctypes.POINTER(ctypes.c_float)
+    L.ref_constellation_demod_soft.argtypes = [
+        ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_float, i8p]
+    h = L.ref_constellation_create(_CONST_TYPES[kind], float(g1), float(g2))
+    m = L.ref_constellation_bits(h)
+    s = np.ascontiguousarray(
+        np.stack([syms.real, syms.imag], axis=-1).astype(np.float32))
+    out = np.empty((len(syms), m), np.int8)
+    L.ref_constellation_demod_soft(h, s.ctypes.data_as(fp), len(syms),
+                                   float(npwr), out.ctypes.data_as(i8p))
+    L.ref_constellation_destroy(h)
+    return out
+
+
 # ------------------------------------------------------- MODCOD table
 def modcod_cfg(mc: int, shortf: bool, pilots: bool) -> dict:
     slots, constel, rate, fs = (ctypes.c_int() for _ in range(4))
@@ -303,6 +336,18 @@ def rs_decode(data204: np.ndarray) -> tuple[np.ndarray, int]:
     return buf, err
 
 
+def rs_encode(data188: np.ndarray) -> np.ndarray:
+    """RS(204,188) parity via libcorrect with the reference decoder's
+    exact parameters (dvbs_reedsolomon.h:17)."""
+    L = lib()
+    L.ref_rs_encode.argtypes = [u8p, u8p]
+    out = np.zeros(204, np.uint8)
+    rc = L.ref_rs_encode(_u8(np.ascontiguousarray(data188, np.uint8)),
+                         _u8(out))
+    assert rc == 0
+    return out
+
+
 # ------------------------------------------- Forney deinterleaver
 class ForneyDeinterleaver:
     def __init__(self):
@@ -312,6 +357,18 @@ class ForneyDeinterleaver:
         buf = np.ascontiguousarray(frame1632, np.uint8)
         out = np.zeros_like(buf)
         lib().ref_forney_deinterleave(self._h, _u8(buf), _u8(out))
+        return out
+
+    def interleave(self, stream: np.ndarray) -> np.ndarray:
+        """TX-direction convolutional interleave (dvbs_interleaving.h:
+        45-56, 12 bytes per call); stateful across calls like the
+        reference's FIFOs."""
+        buf = np.ascontiguousarray(stream, np.uint8)
+        assert len(buf) % 12 == 0
+        out = np.zeros_like(buf)
+        for i in range(0, len(buf), 12):
+            lib().ref_forney_interleave(self._h, _u8(buf[i:i + 12]),
+                                        _u8(out[i:i + 12]))
         return out
 
     def __del__(self):
