@@ -54,12 +54,16 @@ REF_DVBS_PER_CORE = 6.785e6     # REFBENCH viterbi_12_synced
 def bench_dvbs_device(jax, jnp):
     """Device-resident DVB-S throughput: 8-carrier locked-chain bank
     (front end + depuncture + Viterbi + re-encode BER + bitpack fused,
-    models/dvbs.py), input already in HBM. Returns (msps, block_ms)."""
+    models/dvbs.py), input already in HBM. Quality gate: every
+    carrier's bits run through the native C++ host tail (deframe +
+    deinterleave + RS + descramble) and must reproduce that carrier's
+    OWN transmitted TS packets. Returns (msps, block_ms, host_msps)."""
     from dvbs_tpu.parallel.dvbs_bank import build_dvbs_bank
+    from dvbs_tpu.io.native import NativeDVBSTail
     from dvbs_tpu.tx import dvbs_mod, channel
 
     n = 2 * (1 << 16)
-    sigs = []
+    sigs, sents = [], []
     for c in range(N_CARRIERS):
         ts = dvbs_mod.random_ts_groups(6, seed=40 + c)
         mod = dvbs_mod.DVBSModulator(rate="1/2")
@@ -69,6 +73,7 @@ def bench_dvbs_device(jax, jnp):
                            delay_samples=0.2 + 0.1 * c, seed=50 + c)
         assert len(y) >= n
         sigs.append(y[:n])
+        sents.append({r.tobytes() for r in ts.reshape(-1, 188)})
     from dvbs_tpu.ops import frontend
     samples = np.stack([frontend.pack_cs4(s) for s in sigs])
 
@@ -76,6 +81,28 @@ def bench_dvbs_device(jax, jnp):
     out = step(jnp.asarray(samples))
     ber = np.asarray(jax.device_get(out["ber"]))
     assert (ber < 0.05).all(), f"bench DVB-S chains must be clean: {ber}"
+    n_pairs = out["n_pairs"]
+    bitsp = np.asarray(jax.device_get(out["bits"]))
+    bits = np.unpackbits(bitsp, axis=1)[:, :n_pairs]
+    for c in range(N_CARRIERS):
+        got = NativeDVBSTail().feed(np.ascontiguousarray(bits[c]))
+        matched = sum(1 for r in got if r.tobytes() in sents[c])
+        assert len(got) >= 8 and matched >= len(got) - 16, \
+            f"carrier {c}: TS mismatch ({matched}/{len(got)})"
+
+    # host-tail standalone rate: C++ deframe+deint+RS+descramble must
+    # sustain the device rate (each rep re-syncs at the block seam —
+    # strictly pessimistic)
+    bits_c = [np.ascontiguousarray(bits[c]) for c in range(N_CARRIERS)]
+    tails = [NativeDVBSTail() for _ in range(N_CARRIERS)]
+    for c in range(N_CARRIERS):
+        tails[c].feed(bits_c[c])
+    t0 = time.time()
+    host_reps = 5
+    for _ in range(host_reps):
+        for c in range(N_CARRIERS):
+            tails[c].feed(bits_c[c])
+    host_msps = N_CARRIERS * n * host_reps / (time.time() - t0) / 1e6
 
     dev_in = jax.device_put(jnp.asarray(samples))
     o = step(dev_in)
@@ -86,7 +113,7 @@ def bench_dvbs_device(jax, jnp):
         o = step(dev_in)
     np.asarray(jax.device_get(o["ber"]))
     ms = (time.time() - t0) / reps * 1e3
-    return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms
+    return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms, host_msps
 
 
 def main():
@@ -214,7 +241,7 @@ def main():
 
     # ---- DVB-S chain, device-resident (REFBENCH viterbi_12_synced is
     # the per-core bar: 6.79 Msamples/s)
-    dvbs_msps, dvbs_ms = bench_dvbs_device(jax, jnp)
+    dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs_device(jax, jnp)
 
     print(json.dumps({
         "metric": "dvbs2_qpsk12_8carrier_device_throughput",
@@ -229,6 +256,7 @@ def main():
         "dvbs_device_msamples_per_s": round(dvbs_msps, 2),
         "dvbs_block_ms": round(dvbs_ms, 2),
         "dvbs_vs_ref_core": round(dvbs_msps * 1e6 / REF_DVBS_PER_CORE, 3),
+        "dvbs_host_stage_msamples_per_s": round(dvbs_host_msps, 1),
         "ingest": "cs4 (1 B/sample); e2e rides the axon debug tunnel",
     }))
     return 0

@@ -60,6 +60,13 @@ def main(argv=None):
                          "int8 B=128 Pallas kernel (lane-padded; use "
                          "with large --block-symbols for kernel-class "
                          "throughput on TPU)")
+    ap.add_argument("--state-file", default=None,
+                    help="checkpoint/resume: restore stream state from "
+                         "this file at startup (if it exists) and write "
+                         "it back on exit, so a restarted receiver "
+                         "continues mid-stream instead of reacquiring "
+                         "(SURVEY.md sec. 5 loop-state carry; also "
+                         "saved on the 'save' control command)")
     ap.add_argument("--udp", default=None, help="host:port UDP sink")
     ap.add_argument("--udp-idle-timeout", type=float, default=5.0,
                     help="with --iq udp://, stop after this many seconds "
@@ -120,6 +127,29 @@ def main(argv=None):
     emits = [make_emit(s) for s in sinks]
     stream, out_sink, emit = streams[0], sinks[0], emits[0]
 
+    import os as _os
+    import pickle as _pickle
+
+    def save_state():
+        if not args.state_file:
+            return
+        blob = dict(streams=[s.get_state() for s in streams],
+                    ingest=ingest.get_state() if ingest is not None
+                    else None)
+        with open(args.state_file, "wb") as f:
+            _pickle.dump(blob, f)
+
+    def restore_state():
+        if not (args.state_file and _os.path.exists(args.state_file)):
+            return
+        with open(args.state_file, "rb") as f:
+            saved = _pickle.load(f)
+        for s, st in zip(streams, saved["streams"]):
+            s.set_state(st)
+        if saved.get("ingest") is not None and ingest is not None:
+            ingest.set_state(saved["ingest"])
+        print(f"state restored from {args.state_file}", file=sys.stderr)
+
     if args.mode == "s2":
         # persist a successful auto-MODCOD vote, as the reference does
         # after reconfiguring (main.cpp:383-408 writes the voted modcod
@@ -175,6 +205,7 @@ def main(argv=None):
         ap.error("--samplerate and --symbolrate must be given together")
     elif args.offset:
         ap.error("--offset needs --samplerate and --symbolrate")
+    restore_state()
     total_out = 0
     ctrl_buf = ""
 
@@ -251,6 +282,10 @@ def main(argv=None):
                                 else out_sink.send_ts_chunked)
                     sinks[0], emits[0] = out_sink, emit
                     print(f"control: udp -> {cmd[1]}", file=sys.stderr)
+                elif cmd[0] == "save":
+                    save_state()
+                    print(f"control: state saved to {args.state_file}",
+                          file=sys.stderr)
                 elif cmd[0] == "metrics":
                     print(f"control: {stream.metrics}", file=sys.stderr)
                 else:
@@ -295,6 +330,7 @@ def main(argv=None):
     for snk in sinks:
         if snk:
             snk.close()
+    save_state()
     print(f"done: {total_out} bytes", file=sys.stderr)
     return 0
 

@@ -33,6 +33,42 @@ def available() -> bool:
         lib.deframer_feed.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.deframer_state_size.restype = ctypes.c_long
+        lib.deframer_state_size.argtypes = [ctypes.c_void_p]
+        lib.deframer_get_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.deframer_set_state.restype = ctypes.c_int
+        lib.deframer_set_state.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        lib.dvbstail_create.restype = ctypes.c_void_p
+        lib.dvbstail_create.argtypes = [ctypes.c_int]
+        lib.dvbstail_destroy.argtypes = [ctypes.c_void_p]
+        lib.dvbstail_feed.restype = ctypes.c_long
+        lib.dvbstail_feed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        for fn in ("dvbstail_frames", "dvbstail_groups_ok",
+                   "dvbstail_rs_count", "dvbstail_sync_errors",
+                   "dvbstail_frames_total", "dvbstail_pending"):
+            getattr(lib, fn).restype = ctypes.c_long
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.dvbstail_rs_avg.restype = ctypes.c_double
+        lib.dvbstail_rs_avg.argtypes = [ctypes.c_void_p]
+        lib.dvbstail_deframer.restype = ctypes.c_void_p
+        lib.dvbstail_deframer.argtypes = [ctypes.c_void_p]
+        lib.dvbstail_group_sync.restype = ctypes.c_int
+        lib.dvbstail_group_sync.argtypes = [ctypes.c_void_p]
+        lib.dvbstail_set_group_sync.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int]
+        lib.dvbstail_get_fifos.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dvbstail_set_fifos.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dvbstail_get_fifo.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dvbstail_set_fifo.restype = ctypes.c_int
+        lib.dvbstail_set_fifo.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.tsparser_create.restype = ctypes.c_void_p
         lib.tsparser_create.argtypes = [ctypes.c_int]
         lib.tsparser_destroy.argtypes = [ctypes.c_void_p]
@@ -96,6 +132,111 @@ class NativeTSDeframer:
         n = _lib.deframer_feed(self._h, _ptr(bits), len(bits), _ptr(out),
                                max_frames)
         return out[:n * 1632].reshape(n, 1632).copy()
+
+    def get_state(self) -> bytes:
+        """Serialized mutable state; interchangeable with the python
+        TSDeframer's blob (same layout)."""
+        n = _lib.deframer_state_size(self._h)
+        buf = np.empty(n, np.uint8)
+        _lib.deframer_get_state(self._h, _ptr(buf))
+        return buf.tobytes()
+
+    def set_state(self, blob: bytes):
+        buf = np.frombuffer(blob, np.uint8).copy()
+        rc = _lib.deframer_set_state(self._h, _ptr(buf), len(buf))
+        if rc != 0:
+            raise ValueError("corrupt deframer state blob")
+
+
+class NativeDVBSTail:
+    """DVB-S post-Viterbi host tail (C++): deframe -> Forney
+    deinterleave -> RS(204,188) -> energy-dispersal descramble, one
+    call per block. Mirrors DVBSReceiver._host_tail byte-for-byte
+    (reference chain: dvbs_ts_deframer.cpp + dvbs_interleaving.h +
+    dvbs_reedsolomon.h + the dispersal PRBS)."""
+
+    _DEINT_SIZES = [(11 - j) * 17 for j in range(12)]
+
+    def __init__(self, max_resync_errors: int = 4):
+        assert available()
+        self._h = _lib.dvbstail_create(max_resync_errors)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and _lib is not None:
+            _lib.dvbstail_destroy(self._h)
+            self._h = None
+
+    def feed(self, bits: np.ndarray) -> np.ndarray:
+        """bits [n] uint8 (0/1 post-Viterbi) -> TS packets [P, 188]."""
+        bits = np.ascontiguousarray(bits, np.uint8)
+        pend = int(_lib.dvbstail_pending(self._h))
+        cap = ((len(bits) // 8 + pend) // (8 * 204) + 2) * 1504
+        out = np.empty(cap, np.uint8)
+        w = _lib.dvbstail_feed(self._h, _ptr(bits), len(bits), _ptr(out),
+                               cap)
+        return out[:w].reshape(-1, 188).copy()
+
+    # per-feed stats (same accounting as the python tail)
+    @property
+    def frames(self):
+        return int(_lib.dvbstail_frames(self._h))
+
+    @property
+    def groups_ok(self):
+        return int(_lib.dvbstail_groups_ok(self._h))
+
+    @property
+    def rs_avg_errors(self):
+        return float(_lib.dvbstail_rs_avg(self._h))
+
+    @property
+    def rs_count(self):
+        return int(_lib.dvbstail_rs_count(self._h))
+
+    # cumulative deframer counters
+    @property
+    def sync_errors(self):
+        return int(_lib.dvbstail_sync_errors(self._h))
+
+    @property
+    def frames_ok(self):
+        return int(_lib.dvbstail_frames_total(self._h))
+
+    # ---- checkpoint: the SAME dict fields as the pure-python receiver
+    # (models/dvbs.DVBSReceiver.get_state) so blobs are interchangeable
+    def get_state(self) -> dict:
+        df = _lib.dvbstail_deframer(self._h)
+        n = _lib.deframer_state_size(df)
+        dblob = np.empty(n, np.uint8)
+        _lib.deframer_get_state(df, _ptr(dblob))
+        fifos = np.empty(sum(self._DEINT_SIZES), np.uint8)
+        _lib.dvbstail_get_fifos(self._h, _ptr(fifos))
+        pend = int(_lib.dvbstail_pending(self._h))
+        fifo = np.empty(pend, np.uint8)
+        if pend:
+            _lib.dvbstail_get_fifo(self._h, _ptr(fifo))
+        out, q = [], 0
+        for d in self._DEINT_SIZES:
+            out.append(fifos[q:q + d].copy())
+            q += d
+        return dict(deframer_state=dblob.tobytes(), deint_fifos=out,
+                    deint_fifo=fifo,
+                    group_sync=bool(_lib.dvbstail_group_sync(self._h)))
+
+    def set_state(self, st: dict):
+        df = _lib.dvbstail_deframer(self._h)
+        blob = np.frombuffer(st["deframer_state"], np.uint8).copy()
+        if _lib.deframer_set_state(df, _ptr(blob), len(blob)) != 0:
+            raise ValueError("corrupt deframer state blob")
+        fifos = np.ascontiguousarray(
+            np.concatenate([np.asarray(f, np.uint8)
+                            for f in st["deint_fifos"]]))
+        if len(fifos) != sum(self._DEINT_SIZES):
+            raise ValueError("bad deinterleaver fifo sizes")
+        _lib.dvbstail_set_fifos(self._h, _ptr(fifos))
+        fifo = np.ascontiguousarray(np.asarray(st["deint_fifo"], np.uint8))
+        _lib.dvbstail_set_fifo(self._h, _ptr(fifo), len(fifo))
+        _lib.dvbstail_set_group_sync(self._h, int(st["group_sync"]))
 
 
 class NativeTSParser:

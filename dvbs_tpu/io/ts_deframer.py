@@ -37,6 +37,32 @@ class TSDeframer:
         self._bad_streak = 0
         self.max_resync_errors = max_resync_errors
 
+    def get_state(self) -> bytes:
+        """Serialized mutable state; same blob layout as the native
+        deframer (native/dvbs_native.cpp deframer_get_state) so the two
+        implementations are checkpoint-interchangeable."""
+        import struct
+        head = struct.pack("<BBiqqq", int(self.locked), int(self.inverted),
+                           self._bad_streak, self.frames_ok,
+                           self.sync_errors, len(self._bits))
+        return head + self._bits.astype(np.uint8).tobytes()
+
+    def set_state(self, blob: bytes):
+        import struct
+        hs = struct.calcsize("<BBiqqq")
+        if len(blob) < hs:
+            raise ValueError("corrupt deframer state blob")
+        locked, inv, streak, fok, serr, nbits = struct.unpack(
+            "<BBiqqq", blob[:hs])
+        if len(blob) != hs + nbits:
+            raise ValueError("corrupt deframer state blob")
+        self.locked = bool(locked)
+        self.inverted = bool(inv)
+        self._bad_streak = streak
+        self.frames_ok = fok
+        self.sync_errors = serr
+        self._bits = np.frombuffer(blob[hs:], np.uint8).copy()
+
     def _search(self, bits: np.ndarray) -> tuple[int, bool] | None:
         """Find a frame start in the first FRAME_BITS offsets."""
         if len(bits) < 2 * FRAME_BITS:

@@ -18,6 +18,7 @@ its 180-degree ambiguity is resolved in the deframer (inverted sync).
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -52,13 +53,16 @@ class DVBSBlockResult:
     n_symbols: int
     constellation: np.ndarray | None = None   # [1024] complex64 scatter
                                   # (symToSoft side-channel, main.cpp:515-521)
+    frames: int = 0               # 1632-byte super-frames deframed this block
+    groups_ok: int = 0            # dispersal groups with all 8 RS decodes ok
 
 
 class DVBSReceiver:
     """Streaming DVB-S demodulator with automatic rate/phase lock."""
 
     def __init__(self, rate: str | None = None,
-                 block_symbols: int = 1 << 16):
+                 block_symbols: int = 1 << 16,
+                 native_tail: bool | None = None):
         self.block_symbols = block_symbols
         self.fixed_rate = rate
         self.locked = False
@@ -67,10 +71,14 @@ class DVBSReceiver:
         self.drop = 0
         self.ber = 1.0
         self.out_of_sync = 0
-        self.deframer = TSDeframer()
-        self.deinterleaver = dvbs_fec.ConvDeinterleaver()
-        self._deint_fifo = np.zeros(0, np.uint8)
-        self._group_sync = False
+        # host tail: the C++ fused deframe+deinterleave+RS+descramble
+        # (native/dvbs_native.cpp dvbstail_*) when built, else the pure
+        # python chain — byte-identical, checkpoint-interchangeable
+        if native_tail is None:
+            from ..io import native as io_native
+            native_tail = io_native.available()
+        self.native_tail = bool(native_tail)
+        self._reset_tail()
         self._fifo = np.zeros(0, np.complex64)
         self._llr_carry = np.zeros(0, np.float32)
         self._front = self._build_front()
@@ -78,6 +86,23 @@ class DVBSReceiver:
         self._hints = np.array([0, 0, 0, 0, 1], np.float32)  # first=1
         self.last_consumed = 2 * block_symbols
         self.rs_avg_errors = 0.0
+
+    # ------------------------------------------------------------------
+    def _reset_tail(self):
+        if self.native_tail:
+            from ..io.native import NativeDVBSTail
+            self._ntail = NativeDVBSTail()
+        else:
+            self._ntail = None
+            self.deframer = TSDeframer()
+            self.deinterleaver = dvbs_fec.ConvDeinterleaver()
+            self._deint_fifo = np.zeros(0, np.uint8)
+            self._group_sync = False
+
+    @property
+    def sync_errors(self) -> int:
+        return (self._ntail.sync_errors if self._ntail is not None
+                else self.deframer.sync_errors)
 
     # ------------------------------------------------------------------
     def _build_front(self):
@@ -173,10 +198,7 @@ class DVBSReceiver:
             self.locked = True
             self.out_of_sync = 0
             self._llr_carry = np.zeros(0, np.float32)
-            self.deframer = TSDeframer()
-            self.deinterleaver = dvbs_fec.ConvDeinterleaver()
-            self._deint_fifo = np.zeros(0, np.uint8)
-            self._group_sync = False
+            self._reset_tail()
         else:
             self.locked = False
 
@@ -338,7 +360,7 @@ class DVBSReceiver:
             if not self.locked:
                 return DVBSBlockResult(np.zeros((0, 188), np.uint8),
                                        self.ber, False, None, 0.0,
-                                       self.deframer.sync_errors,
+                                       self.sync_errors,
                                        soft_len // 2,
                                        constellation=constellation)
 
@@ -371,10 +393,21 @@ class DVBSReceiver:
 
     def _host_tail(self, bits: np.ndarray, constellation, n_symbols: int
                    ) -> DVBSBlockResult:
-        """Pure host: deframe -> deinterleave -> RS -> descramble."""
+        """Pure host: deframe -> deinterleave -> RS -> descramble.
+        One fused C++ call when native is built (byte-identical python
+        fallback below, cross-checked by tests/test_dvbs_e2e.py)."""
+        if self._ntail is not None:
+            nt = self._ntail
+            ts = nt.feed(bits)
+            self.rs_avg_errors = nt.rs_avg_errors
+            return DVBSBlockResult(ts, self.ber, self.locked, self.rate,
+                                   self.rs_avg_errors, nt.sync_errors,
+                                   n_symbols, constellation=constellation,
+                                   frames=nt.frames, groups_ok=nt.groups_ok)
         frames = self.deframer.feed(bits)
         pkts = []
         rs_errs = []
+        groups_ok = 0
         for frame in frames:
             # the Forney deinterleaver delays every byte by 11*17 cycles
             # (2244 bytes = 3 packets), so dispersal-group alignment is
@@ -399,24 +432,76 @@ class DVBSReceiver:
                 continue
             self._deint_fifo = self._deint_fifo[8 * 204:]
             group = np.empty(8 * 188, np.uint8)
+            grp_clean = True
             for k in range(8):
                 fixed, nerr = rs_spec.decode(grp_in[k * 204:(k + 1) * 204])
                 rs_errs.append(max(nerr, 0) if nerr >= 0 else 8)
+                grp_clean = grp_clean and nerr >= 0
                 group[k * 188:(k + 1) * 188] = fixed[:188]
+            groups_ok += int(grp_clean)
             group = scrambling.dvbs_descramble_group(group)
             pkts.append(group.reshape(8, 188))
         self.rs_avg_errors = float(np.mean(rs_errs)) if rs_errs else 0.0
         ts = np.concatenate(pkts) if pkts else np.zeros((0, 188), np.uint8)
         return DVBSBlockResult(ts, self.ber, self.locked, self.rate,
                                self.rs_avg_errors, self.deframer.sync_errors,
-                               n_symbols, constellation=constellation)
+                               n_symbols, constellation=constellation,
+                               frames=int(len(frames)), groups_ok=groups_ok)
+
+
+    # -- loop-state checkpointing (SURVEY.md sec. 5): every mutable DSP
+    # scalar/array the reference would lose on restart — lock state,
+    # carried hints, depuncture carry, deinterleaver FIFOs, deframer and
+    # group-sync state — so restore-and-continue equals uninterrupted.
+    # The tail fields use ONE format for both tail implementations, so a
+    # checkpoint written with the native tail restores into the python
+    # tail and vice versa.
+    def get_state(self) -> dict:
+        if self._ntail is not None:
+            tail = self._ntail.get_state()
+        else:
+            tail = dict(
+                deframer_state=self.deframer.get_state(),
+                deint_fifos=[f.copy() for f in self.deinterleaver.fifos],
+                deint_fifo=self._deint_fifo.copy(),
+                group_sync=self._group_sync)
+        return dict(locked=self.locked, rate=self.rate,
+                    rotation=self.rotation, drop=self.drop, ber=self.ber,
+                    out_of_sync=self.out_of_sync,
+                    hints=self._hints.copy(),
+                    llr_carry=self._llr_carry.copy(),
+                    rs_avg_errors=self.rs_avg_errors,
+                    last_consumed=self.last_consumed, **tail)
+
+    def set_state(self, st: dict):
+        self.locked = bool(st["locked"])
+        self.rate = st["rate"]
+        self.rotation = int(st["rotation"])
+        self.drop = int(st["drop"])
+        self.ber = float(st["ber"])
+        self.out_of_sync = int(st["out_of_sync"])
+        self._hints = np.asarray(st["hints"], np.float32).copy()
+        self._llr_carry = np.asarray(st["llr_carry"], np.float32).copy()
+        self._reset_tail()
+        if self._ntail is not None:
+            self._ntail.set_state(st)
+        else:
+            self.deframer.set_state(st["deframer_state"])
+            self.deinterleaver.fifos = [np.asarray(f, np.uint8).copy()
+                                        for f in st["deint_fifos"]]
+            self._deint_fifo = np.asarray(st["deint_fifo"], np.uint8).copy()
+            self._group_sync = bool(st["group_sync"])
+        self.rs_avg_errors = float(st["rs_avg_errors"])
+        self.last_consumed = int(st["last_consumed"])
 
 
 class DVBSStream:
     """FIFO wrapper matching DVBS2Stream's interface for the CLI."""
 
-    def __init__(self, rate: str | None = None, block_symbols: int = 1 << 16):
-        self.rx = DVBSReceiver(rate=rate, block_symbols=block_symbols)
+    def __init__(self, rate: str | None = None, block_symbols: int = 1 << 16,
+                 native_tail: bool | None = None):
+        self.rx = DVBSReceiver(rate=rate, block_symbols=block_symbols,
+                               native_tail=native_tail)
         self._fifo = np.zeros(0, np.complex64)
         self.block_symbols = block_symbols
         self.metrics = type("M", (), {})()
@@ -427,13 +512,18 @@ class DVBSStream:
         # module_dvbs_demod.cpp:101-115, GUI main.cpp:340-351)
         m = self.metrics
         m.viterbi_ber = 1.0
-        m.viterbi_sig_level = 0.0      # 100 - avg BER * (100/0.3)
+        m.viterbi_sig_level = 0.0      # 100 - avg30(BER) * (100/0.3)
         m.viterbi_lock = False
         m.viterbi_rate = None          # "1/2".."7/8" once locked
         m.rs_avg_errors = 0.0
         m.deframer_errors = 0
         m.frames_ok = 0
         m.frames_seen = 0
+        # 30-entry rolling windows, mirroring the reference GUI's ring
+        # buffers (main.cpp:340-351): sig level and RS averages smooth
+        # over the last 30 processed blocks
+        self._ber_ring = collections.deque(maxlen=30)
+        self._rs_ring = collections.deque(maxlen=30)
 
     def feed(self, samples: np.ndarray) -> bytes:
         """Pipelined: once locked, block i+1 is dispatched to the device
@@ -465,12 +555,42 @@ class DVBSStream:
             out.extend(res.ts_packets.reshape(-1).tobytes())
             m = self.metrics
             m.viterbi_ber = float(res.viterbi_ber)
+            self._ber_ring.append(float(res.viterbi_ber))
             m.viterbi_sig_level = max(
-                0.0, 100.0 - res.viterbi_ber * (100.0 / 0.3))
+                0.0, 100.0 - float(np.mean(self._ber_ring)) * (100.0 / 0.3))
             m.viterbi_lock = bool(res.viterbi_lock)
             m.viterbi_rate = res.detected_rate
-            m.rs_avg_errors = float(res.rs_avg_errors)
+            if res.frames:                 # blocks with RS activity only
+                self._rs_ring.append(float(res.rs_avg_errors))
+            m.rs_avg_errors = float(np.mean(self._rs_ring)) \
+                if self._rs_ring else 0.0
             m.deframer_errors = int(res.deframer_errors)
-            m.frames_seen += 1
-            m.frames_ok += int(res.viterbi_lock)
+            # real super-frame counts, not block counts: frames_seen is
+            # 1632-byte frames deframed, frames_ok is dispersal groups
+            # whose 8 RS codewords all decoded (same 1632-byte unit,
+            # shifted by the deinterleaver delay)
+            m.frames_seen += int(res.frames)
+            m.frames_ok += int(res.groups_ok)
         return bytes(out)
+
+    def get_state(self) -> dict:
+        """Snapshot for seamless restart (parity with DVBS2Stream).
+        feed() drains its pipelined dispatch before returning, so there
+        is never an in-flight block at snapshot time."""
+        m = self.metrics
+        return dict(rx=self.rx.get_state(),
+                    fifo=self._fifo.copy(),
+                    ber_ring=list(self._ber_ring),
+                    rs_ring=list(self._rs_ring),
+                    metrics={k: getattr(m, k) for k in (
+                        "viterbi_ber", "viterbi_sig_level", "viterbi_lock",
+                        "viterbi_rate", "rs_avg_errors", "deframer_errors",
+                        "frames_ok", "frames_seen")})
+
+    def set_state(self, st: dict):
+        self.rx.set_state(st["rx"])
+        self._fifo = np.asarray(st["fifo"], np.complex64).copy()
+        self._ber_ring = collections.deque(st["ber_ring"], maxlen=30)
+        self._rs_ring = collections.deque(st["rs_ring"], maxlen=30)
+        for k, v in st["metrics"].items():
+            setattr(self.metrics, k, v)

@@ -164,8 +164,11 @@ def fir_filter(x: jax.Array, taps: np.ndarray,
                                     precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
             wr, wi = jnp.real(w), jnp.imag(w)
-        re = dot(wr, T).reshape(nb * blk)[:n]
-        im = dot(wi, T).reshape(nb * blk)[:n]
+        # one matmul for re+im (rows are independent): [2nb, blk+K-1] x
+        # [blk+K-1, blk] — identical numerics, half the MXU dispatches
+        y = dot(jnp.concatenate([wr, wi], axis=0), T)
+        re = y[:nb].reshape(nb * blk)[:n]
+        im = y[nb:].reshape(nb * blk)[:n]
         return (re + 1j * im).astype(jnp.complex64)
     xp = jnp.pad(x, (half, K - 1 - half))
     acc = jnp.zeros(n, x.dtype)

@@ -173,6 +173,12 @@ class StreamingResampler:
             self._buf = self._buf[self.chunk:]
         return np.concatenate(outs) if outs else np.zeros(0, np.complex64)
 
+    def get_state(self) -> dict:
+        return dict(buf=self._buf.copy())
+
+    def set_state(self, st: dict):
+        self._buf = np.asarray(st["buf"], np.complex64).copy()
+
 
 class Channelizer:
     """Multi-VFO bank: wideband capture -> per-carrier 2 sps basebands.
@@ -231,3 +237,14 @@ class Channelizer:
             jnp.asarray(phi_blk.astype(np.float32)), nb))[:, :n]
         self._n0 += n
         return [rs.feed(mixed[c]) for c, rs in enumerate(self._rs)]
+
+    # checkpoint/resume: NCO sample counter + per-carrier resampler
+    # buffers (the CLI's --state-file captures these alongside the
+    # stream states so a restart is sample-exact)
+    def get_state(self) -> dict:
+        return dict(n0=self._n0, rs=[r.get_state() for r in self._rs])
+
+    def set_state(self, st: dict):
+        self._n0 = int(st["n0"])
+        for r, s in zip(self._rs, st["rs"]):
+            r.set_state(s)

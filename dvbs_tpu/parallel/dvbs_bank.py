@@ -90,21 +90,23 @@ def build_dvbs_bank(n_carriers: int, rate: str = "1/2",
     state = {"fn": None}
 
     def _lock(samples):
-        """Host acquisition pass: run the front once per carrier and
-        search (rotation, drop) with the stock lock logic."""
+        """Host acquisition pass: run the front once for ALL carriers
+        (one jitted program — eager per-op dispatch is both slow and
+        UNIMPLEMENTED for some ops on the axon TPU backend), then
+        search (rotation, drop) per carrier with the stock lock logic."""
         from ..models.dvbs import DVBSReceiver
+        if ingest == "cs4":
+            sc = np.stack([unpack_cs4_host(np.asarray(samples[c]))
+                           for c in range(C)])
+            ri = np.stack([sc.real, sc.imag], axis=1).astype(np.float32)
+        else:
+            ri = np.asarray(samples, np.float32)
+        softs = np.asarray(jax.jit(jax.vmap(_front_first))(
+            jnp.asarray(ri))).astype(np.float32)
         rots, drops = [], []
         for c in range(C):
-            if ingest == "cs4":
-                s = unpack_cs4_host(np.asarray(samples[c]))
-            else:
-                s = (np.asarray(samples[c][0], np.float32) +
-                     1j * np.asarray(samples[c][1], np.float32))
-            rx = DVBSReceiver(rate=rate, block_symbols=len(s) // 2)
-            soft = np.asarray(_front_first(jnp.asarray(
-                np.stack([s.real, s.imag]).astype(np.float32)))
-            ).astype(np.float32)
-            rx._try_lock(soft)
+            rx = DVBSReceiver(rate=rate, block_symbols=n // 2)
+            rx._try_lock(softs[c])
             if not rx.locked:
                 raise RuntimeError(f"carrier {c}: no Viterbi lock "
                                    f"(best BER {rx.ber:.3f})")

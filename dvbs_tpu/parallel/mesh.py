@@ -63,11 +63,11 @@ def build_multi_carrier(n_devices: int, carriers_per_device: int = 1,
 
 
 def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
-                       short: bool = False,
+                       short: bool = False, pilots: bool = False,
                        frames_total: int = 128) -> int:
     """Smallest per-carrier block that makes the bank's frame total
     exactly `frames_total` — the Pallas LDPC kernel's batch width."""
-    cfg = modcod.get_config(mc, short=short)
+    cfg = modcod.get_config(mc, short=short, pilots=pilots)
     per = -(-frames_total // n_carriers)
     raw = (per + 1) * cfg.plframe_len + 2 * 256 + 90
     # round up to a multiple of 64 (timing-recovery window divisibility)
@@ -75,6 +75,7 @@ def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
 
 
 def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
+                       pilots: bool = False,
                        block_symbols: int = 1 << 17, n_iters: int = 12,
                        fec_chunk: int = 24, fec: str = "auto",
                        ingest: str = "cs8", interpret_pallas: bool = False):
@@ -105,7 +106,8 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     bch_bad [C*F], quality [C, F], pls [C, F]).
     """
     import jax.numpy as jnp
-    rx = DVBS2Receiver(mc=mc, short=short, block_symbols=block_symbols,
+    rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
+                       block_symbols=block_symbols,
                        max_ldpc_trials=n_iters)
     core = rx._sym_fn
     F = rx.n_frames

@@ -81,7 +81,8 @@ def build_time_sharded(n_devices: int, mc: int = 4, short: bool = True,
 
 
 def build_grid_sharded(n_carriers: int, n_time: int, mc: int = 4,
-                       short: bool = True, block_symbols: int = 1 << 15):
+                       short: bool = True, block_symbols: int = 1 << 15,
+                       devices: np.ndarray | None = None):
     """2D carrier x time sharding: the full scale-out shape of
     BASELINE config 5 (N-carrier bank spread over a slice / multiple
     hosts) as ONE SPMD program over a {carrier, time} mesh.
@@ -95,9 +96,15 @@ def build_grid_sharded(n_carriers: int, n_time: int, mc: int = 4,
 
     Returns (step_fn, example_input, mesh, advance_samples); step_fn
     maps [C, T, 2, A] -> per-shard outputs stacked on [C, T, ...].
+
+    `devices` overrides the [C, T] device grid — multi-host callers lay
+    the time axis across hosts so the halo ppermute rides DCN
+    (tools/dryrun_multihost.py).
     """
     ndev = n_carriers * n_time
-    devices = np.array(jax.devices()[:ndev]).reshape(n_carriers, n_time)
+    if devices is None:
+        devices = np.array(jax.devices()[:ndev]).reshape(n_carriers, n_time)
+    assert devices.shape == (n_carriers, n_time)
     mesh = Mesh(devices, ("carrier", "time"))
     rx = DVBS2Receiver(mc=mc, short=short, block_symbols=block_symbols)
     A = 2 * rx.n_frames * rx.cfg.plframe_len

@@ -133,6 +133,57 @@ int deframer_feed(void* h, const uint8_t* in_bits, long n,
     return emitted;
 }
 
+// ---- deframer checkpoint/resume (same role as tsparser_*_state) -----
+// blob layout: locked(1) inverted(1) bad_streak(le32) frames_ok(le64)
+//              sync_errors(le64) nbits(le64) bits[]  — identical to the
+//              python TSDeframer's format so the two are interchangeable.
+
+static void put32d(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back(x & 0xFF); v.push_back((x >> 8) & 0xFF);
+    v.push_back((x >> 16) & 0xFF); v.push_back((x >> 24) & 0xFF);
+}
+static void put64d(std::vector<uint8_t>& v, uint64_t x) {
+    put32d(v, (uint32_t)(x & 0xFFFFFFFFu));
+    put32d(v, (uint32_t)(x >> 32));
+}
+static uint32_t get32d(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+           ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+static uint64_t get64d(const uint8_t* p) {
+    return (uint64_t)get32d(p) | ((uint64_t)get32d(p + 4) << 32);
+}
+
+long deframer_state_size(void* h) {
+    return 2 + 4 + 8 + 8 + 8 + (long)static_cast<Deframer*>(h)->bits.size();
+}
+
+void deframer_get_state(void* h, uint8_t* out) {
+    auto* d = static_cast<Deframer*>(h);
+    std::vector<uint8_t> v;
+    v.push_back(d->locked); v.push_back(d->inverted);
+    put32d(v, (uint32_t)d->bad_streak);
+    put64d(v, (uint64_t)d->frames_ok);
+    put64d(v, (uint64_t)d->sync_errors);
+    put64d(v, (uint64_t)d->bits.size());
+    v.insert(v.end(), d->bits.begin(), d->bits.end());
+    memcpy(out, v.data(), v.size());
+}
+
+int deframer_set_state(void* h, const uint8_t* in, long n) {
+    auto* d = static_cast<Deframer*>(h);
+    if (n < 2 + 4 + 8 + 8 + 8) return -1;
+    long q = 0;
+    d->locked = in[q++]; d->inverted = in[q++];
+    d->bad_streak = (int)get32d(in + q); q += 4;
+    d->frames_ok = (long)get64d(in + q); q += 8;
+    d->sync_errors = (long)get64d(in + q); q += 8;
+    uint64_t nb = get64d(in + q); q += 8;
+    if (q + (long)nb > n) return -1;
+    d->bits.assign(in + q, in + q + nb);
+    return 0;
+}
+
 // ------------------------------------------------- TS / GSE parser
 
 struct GSESlot {
@@ -463,6 +514,329 @@ int tsparser_set_state(void* h, const uint8_t* in, long n) {
         if (q + (long)len > n) return -1;
         sl.buf.assign(in + q, in + q + len); q += len;
     }
+    return 0;
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------- DVB-S host tail
+// Post-Viterbi byte pipeline, fused: deframe -> Forney convolutional
+// deinterleave (I=12, M=17) -> RS(204,188) decode -> energy-dispersal
+// descramble -> TS packets. The reference runs this chain in C++ too
+// (dvbs_ts_deframer.cpp, dvbs_interleaving.h:58-70 RX direction,
+// dvbs_reedsolomon.h:17-47 via libcorrect fcr=0 nroots=16, and the
+// dispersal PRBS of dvbs_scrambling.h); this one mirrors the python
+// DVBSReceiver._host_tail (dvbs_tpu/models/dvbs.py) byte-for-byte so
+// the two are interchangeable, including checkpoint state.
+
+namespace rs204 {
+
+constexpr int NK = 204, KK = 188, NROOTS = 16, TT = 8, PRIM = 0x11D;
+static uint8_t gf_exp[512];
+static uint8_t gf_log[256];
+static bool gf_ready = false;
+
+static void gf_init() {
+    if (gf_ready) return;
+    int x = 1;
+    for (int i = 0; i < 255; i++) {
+        gf_exp[i] = (uint8_t)x;
+        gf_log[x] = (uint8_t)i;
+        x <<= 1;
+        if (x & 0x100) x ^= PRIM;
+    }
+    for (int i = 255; i < 512; i++) gf_exp[i] = gf_exp[i - 255];
+    gf_log[0] = 0;  // never read (gmul/gdiv gate on zero operands)
+    gf_ready = true;
+}
+
+static inline uint8_t gmul(uint8_t a, uint8_t b) {
+    if (!a || !b) return 0;
+    return gf_exp[gf_log[a] + gf_log[b]];
+}
+static inline uint8_t gdiv(uint8_t a, uint8_t b) {
+    if (!a) return 0;
+    return gf_exp[(gf_log[a] + 255 - gf_log[b]) % 255];
+}
+// evaluate poly (coeff index = power, degree deg) at alpha^e (e mod 255)
+static uint8_t poly_eval(const uint8_t* c, int deg, int e) {
+    uint8_t x = gf_exp[((e % 255) + 255) % 255];
+    uint8_t acc = 0;
+    for (int k = deg; k >= 0; k--) acc = gmul(acc, x) ^ c[k];
+    return acc;
+}
+
+// Decode one codeword in place. Returns corrected byte count, or -1 on
+// failure (codeword left unchanged) — the reference's error accounting
+// (dvbs_reedsolomon.h:26-47).
+static int decode(uint8_t* code) {
+    gf_init();
+    uint8_t S[NROOTS];
+    bool clean = true;
+    for (int j = 0; j < NROOTS; j++) {
+        uint8_t aj = gf_exp[j];
+        uint8_t acc = 0;
+        for (int i = 0; i < NK; i++) acc = gmul(acc, aj) ^ code[i];
+        S[j] = acc;
+        clean = clean && (acc == 0);
+    }
+    if (clean) return 0;
+    // Berlekamp-Massey
+    uint8_t C[NROOTS + 1] = {1}, B[NROOTS + 1] = {1}, Tp[NROOTS + 1];
+    int L = 0, m = 1;
+    uint8_t b = 1;
+    for (int n = 0; n < NROOTS; n++) {
+        uint8_t d = S[n];
+        for (int i = 1; i <= L; i++) d ^= gmul(C[i], S[n - i]);
+        if (d == 0) {
+            m++;
+        } else if (2 * L <= n) {
+            memcpy(Tp, C, sizeof(C));
+            uint8_t coef = gdiv(d, b);
+            for (int i = m; i <= NROOTS; i++) C[i] ^= gmul(coef, B[i - m]);
+            L = n + 1 - L;
+            memcpy(B, Tp, sizeof(B));
+            b = d;
+            m = 1;
+        } else {
+            uint8_t coef = gdiv(d, b);
+            for (int i = m; i <= NROOTS; i++) C[i] ^= gmul(coef, B[i - m]);
+            m++;
+        }
+    }
+    if (L > TT) return -1;
+    // Chien search: error at byte i <=> Lambda(alpha^-(203-i)) == 0
+    int err_idx[TT];
+    int nerr = 0;
+    for (int i = 0; i < NK; i++) {
+        if (poly_eval(C, L, -(NK - 1 - i)) == 0) {
+            if (nerr >= L) return -1;      // more roots than degree
+            err_idx[nerr++] = i;
+        }
+    }
+    if (nerr != L) return -1;
+    // Forney: Omega = S(x)*Lambda(x) mod x^16;
+    // e_i = X_i * Omega(X_i^-1) / Lambda'(X_i^-1)   (fcr = 0)
+    uint8_t om[NROOTS];
+    for (int i = 0; i < NROOTS; i++) {
+        uint8_t acc = 0;
+        int jmax = i < L ? i : L;
+        for (int j = 0; j <= jmax; j++) acc ^= gmul(C[j], S[i - j]);
+        om[i] = acc;
+    }
+    uint8_t dC[(NROOTS + 1) / 2];      // Lambda'(x) in x^2: odd coeffs
+    int ndc = 0;
+    for (int k = 1; k <= NROOTS; k += 2) dC[ndc++] = C[k];
+    uint8_t mag[TT];
+    for (int k = 0; k < nerr; k++) {
+        int p = NK - 1 - err_idx[k];
+        uint8_t omv = poly_eval(om, NROOTS - 1, -p);
+        // Lambda' at x = alpha^-p: sum dC[t] * alpha^(-2*p*t)
+        uint8_t x2 = gf_exp[(((-2 * p) % 255) + 255) % 255];
+        uint8_t lam = 0, xp = 1;
+        for (int t = 0; t < ndc; t++) {
+            lam ^= gmul(dC[t], xp);
+            xp = gmul(xp, x2);
+        }
+        if (lam == 0) return -1;
+        mag[k] = gmul(gf_exp[p % 255], gdiv(omv, lam));
+    }
+    for (int k = 0; k < nerr; k++) code[err_idx[k]] ^= mag[k];
+    // verify: recompute syndromes; on failure restore the input
+    for (int j = 0; j < NROOTS; j++) {
+        uint8_t aj = gf_exp[j];
+        uint8_t acc = 0;
+        for (int i = 0; i < NK; i++) acc = gmul(acc, aj) ^ code[i];
+        if (acc != 0) {
+            for (int k = 0; k < nerr; k++) code[err_idx[k]] ^= mag[k];
+            return -1;
+        }
+    }
+    return L;
+}
+
+}  // namespace rs204
+
+namespace {
+
+constexpr int GROUP = 8 * 188;         // one dispersal group of TS bytes
+
+// PRBS 1+x^14+x^15 byte mask for one group (seed 100101010000000,
+// restarts per group, sync bytes never scrambled) — same construction
+// as dvbs_tpu/spec/scrambling.dvbs_dispersal_mask
+static uint8_t disp_mask[GROUP];
+static bool disp_ready = false;
+static void disp_init() {
+    if (disp_ready) return;
+    unsigned reg = 0x4A80;             // 0b100101010000000
+    memset(disp_mask, 0, sizeof(disp_mask));
+    for (int i = 1; i < GROUP; i++) {
+        uint8_t by = 0;
+        for (int k = 0; k < 8; k++) {
+            unsigned bit = ((reg >> 1) ^ reg) & 1;
+            reg = (reg >> 1) | (bit << 14);
+            by = (by << 1) | bit;
+        }
+        disp_mask[i] = by;
+    }
+    for (int i = 0; i < GROUP; i += 188) disp_mask[i] = 0;
+    disp_ready = true;
+}
+
+struct DVBSTail {
+    Deframer df;
+    uint8_t ring[12][187];             // branch j delays (11-j)*17 <= 187
+    int rpos[12] = {0};
+    std::vector<uint8_t> fifo;         // deinterleaved bytes pending sync
+    bool group_sync = false;
+    // per-feed stats (reset each dvbstail_feed)
+    long last_frames = 0, last_groups_ok = 0, last_rs_n = 0;
+    double last_rs_sum = 0.0;
+    DVBSTail() { memset(ring, 0, sizeof(ring)); }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dvbstail_create(int max_resync_errors) {
+    disp_init();
+    rs204::gf_init();
+    auto* t = new DVBSTail();
+    t->df.max_resync_errors = max_resync_errors;
+    return t;
+}
+
+void dvbstail_destroy(void* h) { delete static_cast<DVBSTail*>(h); }
+
+long dvbstail_frames(void* h) { return static_cast<DVBSTail*>(h)->last_frames; }
+long dvbstail_groups_ok(void* h) { return static_cast<DVBSTail*>(h)->last_groups_ok; }
+long dvbstail_rs_count(void* h) { return static_cast<DVBSTail*>(h)->last_rs_n; }
+double dvbstail_rs_avg(void* h) {
+    auto* t = static_cast<DVBSTail*>(h);
+    return t->last_rs_n ? t->last_rs_sum / t->last_rs_n : 0.0;
+}
+long dvbstail_sync_errors(void* h) {
+    return static_cast<DVBSTail*>(h)->df.sync_errors;
+}
+long dvbstail_frames_total(void* h) {
+    return static_cast<DVBSTail*>(h)->df.frames_ok;
+}
+long dvbstail_pending(void* h) {
+    return (long)static_cast<DVBSTail*>(h)->fifo.size();
+}
+
+// feed n post-Viterbi hard bits (one per byte); writes descrambled TS
+// bytes (multiples of 1504) into out. Returns bytes written.
+long dvbstail_feed(void* h, const uint8_t* bits, long n,
+                   uint8_t* out, long max_bytes) {
+    auto* t = static_cast<DVBSTail*>(h);
+    t->last_frames = t->last_groups_ok = t->last_rs_n = 0;
+    t->last_rs_sum = 0.0;
+    long maxf = n / FRAME_BITS + 2;
+    std::vector<uint8_t> frames((size_t)maxf * FRAME_BYTES);
+    int nf = deframer_feed(&t->df, bits, n, frames.data(), (int)maxf);
+    t->last_frames = nf;
+
+    size_t base = t->fifo.size();
+    t->fifo.resize(base + (size_t)nf * FRAME_BYTES);
+    for (int f = 0; f < nf; f++) {
+        const uint8_t* in = &frames[(size_t)f * FRAME_BYTES];
+        uint8_t* o = &t->fifo[base + (size_t)f * FRAME_BYTES];
+        for (int i = 0; i < FRAME_BYTES; i++) {
+            int j = i % 12;
+            int d = (11 - j) * 17;
+            if (d == 0) {
+                o[i] = in[i];
+            } else {
+                o[i] = t->ring[j][t->rpos[j]];
+                t->ring[j][t->rpos[j]] = in[i];
+                t->rpos[j] = (t->rpos[j] + 1) % d;
+            }
+        }
+    }
+
+    long emitted = 0;
+    size_t head = 0;
+    while (t->fifo.size() - head >= 204) {
+        size_t nw = (t->fifo.size() - head) / 204;
+        if (!t->group_sync) {
+            size_t k = 0;
+            while (k < nw && t->fifo[head + k * 204] != 0xB8) k++;
+            if (k == nw) {             // keep the last whole codeword
+                head += (nw - 1) * 204;
+                break;
+            }
+            head += k * 204;
+            t->group_sync = true;
+            nw -= k;
+        }
+        if (nw < 8) break;
+        uint8_t* grp = &t->fifo[head];
+        if (grp[0] != 0xB8) { t->group_sync = false; continue; }
+        head += 8 * 204;
+        if (emitted + GROUP > max_bytes) break;
+        uint8_t* dst = out + emitted;
+        bool grp_clean = true;
+        for (int k = 0; k < 8; k++) {
+            uint8_t cw[204];
+            memcpy(cw, grp + k * 204, 204);
+            int ne = rs204::decode(cw);
+            t->last_rs_sum += (ne >= 0) ? ne : 8;
+            t->last_rs_n++;
+            grp_clean = grp_clean && ne >= 0;
+            memcpy(dst + k * 188, cw, 188);
+        }
+        t->last_groups_ok += grp_clean;
+        for (int i = 0; i < GROUP; i++) dst[i] ^= disp_mask[i];
+        dst[0] = 0x47;
+        emitted += GROUP;
+    }
+    t->fifo.erase(t->fifo.begin(), t->fifo.begin() + head);
+    return emitted;
+}
+
+// ---- checkpoint: pieces exposed separately so the python wrapper can
+// build the SAME state dict as the pure-python receiver (deframer blob,
+// 12 deinterleaver FIFOs oldest-first, pending byte fifo, group_sync)
+
+void* dvbstail_deframer(void* h) { return &static_cast<DVBSTail*>(h)->df; }
+int dvbstail_group_sync(void* h) {
+    return static_cast<DVBSTail*>(h)->group_sync;
+}
+void dvbstail_set_group_sync(void* h, int v) {
+    static_cast<DVBSTail*>(h)->group_sync = v != 0;
+}
+
+// deinterleaver FIFOs: total 17*(1+2+..+11) = 1122 bytes, branch 0
+// first, each branch serialized oldest-first (matches the python
+// ConvDeinterleaver.fifos list layout)
+void dvbstail_get_fifos(void* h, uint8_t* out) {
+    auto* t = static_cast<DVBSTail*>(h);
+    long q = 0;
+    for (int j = 0; j < 12; j++) {
+        int d = (11 - j) * 17;
+        for (int i = 0; i < d; i++)
+            out[q++] = t->ring[j][(t->rpos[j] + i) % d];
+    }
+}
+void dvbstail_set_fifos(void* h, const uint8_t* in) {
+    auto* t = static_cast<DVBSTail*>(h);
+    long q = 0;
+    for (int j = 0; j < 12; j++) {
+        int d = (11 - j) * 17;
+        for (int i = 0; i < d; i++) t->ring[j][i] = in[q++];
+        t->rpos[j] = 0;
+    }
+}
+
+void dvbstail_get_fifo(void* h, uint8_t* out) {
+    auto* t = static_cast<DVBSTail*>(h);
+    memcpy(out, t->fifo.data(), t->fifo.size());
+}
+int dvbstail_set_fifo(void* h, const uint8_t* in, long n) {
+    if (n < 0) return -1;
+    static_cast<DVBSTail*>(h)->fifo.assign(in, in + n);
     return 0;
 }
 

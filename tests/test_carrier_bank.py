@@ -143,3 +143,36 @@ def test_pack_unpack_cs4_roundtrip():
     rms = np.sqrt(np.mean(np.abs(y) ** 2))
     q = np.clip(np.round(np.stack([y.real, y.imag]) * (2.5 / rms)), -7, 7)
     assert np.array_equal(ri, q.astype(np.int8))
+
+
+def test_bank_8psk_pilots():
+    """Bank coverage beyond the bench config: 8PSK 3/5 short frames
+    WITH pilots (pilot-anchored phase path) through build_carrier_bank —
+    the reference supports pilots on every MODCOD (modcod_to_cfg.cpp)."""
+    mc8 = 12                       # 8PSK 3/5
+    block = bank_block_symbols(CARRIERS, mc=mc8, short=True, pilots=True,
+                               frames_total=4)
+    n = 2 * block
+    cfg = modcod.get_config(mc8, short=True, pilots=True)
+    sigs, sents = [], []
+    for seed, cfo in ((31, 0.003 * np.pi), (32, -0.006 * np.pi)):
+        pkts = dvbs2_mod.random_ts_packets(40, seed=seed)
+        bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
+        tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
+        x = channel.shape(tx, sps=2)
+        y = channel.impair(x, snr_db=12.0, cfo=cfo, delay_samples=0.2,
+                           seed=seed)
+        assert len(y) >= n
+        sigs.append(y[:n])
+        from dvbs_tpu.spec import scrambling
+        sents.append(scrambling.bb_scramble_bytes(bb).tobytes())
+    step, _ = build_carrier_bank(CARRIERS, mc=mc8, short=True, pilots=True,
+                                 block_symbols=block, fec="xla")
+    samples = np.stack([_to_cs8(s) for s in sigs])
+    out = {k: np.asarray(v) for k, v in step(samples).items()}
+    assert out["ldpc_ok"].all()
+    assert not out["bch_bad"].any()
+    F = out["quality"].shape[1]
+    kb = out["kbch_bytes"].reshape(CARRIERS, F, -1)
+    for c in range(CARRIERS):
+        assert kb[c, 0].tobytes() in sents[c], f"carrier {c}"

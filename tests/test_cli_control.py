@@ -129,3 +129,37 @@ def test_set_params_public_api():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         s.set_params(short=False)
+
+
+def test_state_file_resume(tmp_path, capture):
+    """--state-file: a receiver killed and restarted mid-capture
+    continues the stream (same TS bytes as one uninterrupted run)."""
+    path, sent = capture
+    x = np.fromfile(path, np.complex64)
+
+    ref_out = tmp_path / "ref.ts"
+    cli.main(["--iq", path, "--format", "cf32", "--mode", "s2",
+              "--modcod", "4", "--framesize", "short",
+              "--block-symbols", str(1 << 15),
+              "--samplerate", "2.7e6", "--symbolrate", "1e6",
+              "--offset", "0.2e6",
+              "--out", str(ref_out)])
+    ref = ref_out.read_bytes()
+    assert len(ref) >= 188 * 50 and sent.find(ref[:188 * 5]) >= 0
+
+    cut = len(x) // 2
+    a_path, b_path = tmp_path / "a.cf32", tmp_path / "b.cf32"
+    x[:cut].tofile(a_path)
+    x[cut:].tofile(b_path)
+    st = tmp_path / "state.pkl"
+    outs = []
+    for p in (a_path, b_path):
+        o = tmp_path / (p.stem + ".ts")
+        cli.main(["--iq", str(p), "--format", "cf32", "--mode", "s2",
+                  "--modcod", "4", "--framesize", "short",
+                  "--block-symbols", str(1 << 15),
+                  "--samplerate", "2.7e6", "--symbolrate", "1e6",
+                  "--offset", "0.2e6",
+                  "--state-file", str(st), "--out", str(o)])
+        outs.append(o.read_bytes())
+    assert outs[0] + outs[1] == ref, "restart-and-resume != uninterrupted"

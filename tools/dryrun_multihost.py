@@ -79,6 +79,60 @@ def worker(pid: int) -> None:
     print(f"host {pid}: {locked}/{n_frames} frames decoded across "
           f"{jax.process_count()} hosts x {DEV_PER_HOST} devices",
           flush=True)
+
+    # ---- phase 2: the 2D {carrier, time} grid (BASELINE config 5's
+    # full shape: carriers x time-blocks x hosts). The device grid is
+    # laid out so consecutive TIME shards live on ALTERNATING hosts —
+    # every halo ppermute hop crosses the DCN boundary, which is the
+    # thing this dryrun exists to validate.
+    from dvbs_tpu.parallel.timeshard import build_grid_sharded
+    C2, T2 = 2, N_HOSTS * DEV_PER_HOST // 2
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    grid = np.empty((C2, T2), object)
+    for c in range(C2):
+        for t in range(T2):
+            host = t % N_HOSTS                  # alternate hosts along time
+            slot = c * (T2 // N_HOSTS) + t // N_HOSTS
+            grid[c, t] = devs[host * DEV_PER_HOST + slot]
+    gstep, gexample, gmesh, A2 = build_grid_sharded(
+        C2, T2, mc=4, short=True, block_symbols=1 << 15, devices=grid)
+
+    cfg2 = modcod.get_config(4, short=True)
+    gsig = np.zeros(gexample.shape, np.float32)
+    gbbs = []
+    for c in range(C2):
+        pkts = dvbs2_mod.random_ts_packets(90, seed=500 + c)
+        bbf = dvbs2_mod.ts_to_bbframes(pkts, cfg2)
+        txs = dvbs2_mod.bbframes_to_plframes(bbf, cfg2).reshape(-1)
+        x = channel.shape(txs, sps=2)
+        y = channel.impair(x, snr_db=8.0, cfo=(0.003 + 0.002 * c) * np.pi,
+                           delay_samples=0.21 * c, seed=510 + c)
+        assert len(y) >= T2 * A2
+        for t in range(T2):
+            seg = y[t * A2:(t + 1) * A2]
+            gsig[c, t] = np.stack([seg.real, seg.imag])
+        gbbs.append({fr.tobytes() for fr in bbf})
+    gsh = NamedSharding(gmesh, P("carrier", "time", None, None))
+    garr2 = jax.make_array_from_callback(gsig.shape, gsh,
+                                         lambda idx: gsig[idx])
+    gout = gstep(garr2)
+    gok = np.asarray(multihost_utils.process_allgather(
+        gout["ldpc_ok"], tiled=True)).reshape(C2, T2, -1)
+    ghard = np.asarray(multihost_utils.process_allgather(
+        gout["hard"], tiled=True))
+    ghard = ghard.reshape(C2, T2, gok.shape[-1], -1)
+    # all wrap-free shards decode, and each carrier decodes ITS OWN
+    # stream (frames must come from that carrier's transmitted set)
+    for c in range(C2):
+        assert gok[c, :-1].all(), f"grid carrier {c}: {gok[c]}"
+        for t in range(T2 - 1):
+            for f in range(gok.shape[-1]):
+                fb = np.packbits(ghard[c, t, f, :cfg2.kbch]).tobytes()
+                assert fb in gbbs[c], \
+                    f"grid carrier {c} shard {t} frame {f}: foreign frame"
+    print(f"host {pid}: 2D grid {C2}x{T2} ok "
+          f"({gok[:, :-1].sum()} frames, time ring crosses hosts)",
+          flush=True)
     jax.distributed.shutdown()
 
 

@@ -73,11 +73,11 @@ def main():
 
     def t_block(fn, arg, key, reps=10):
         o = fn(arg)
-        sync(jax, o[key] if isinstance(o, dict) else o)
+        sync(jax, o[key] if isinstance(o, (dict, tuple)) else o)
         t0 = time.time()
         for _ in range(reps):
             o = fn(arg)
-        sync(jax, o[key] if isinstance(o, dict) else o)
+        sync(jax, o[key] if isinstance(o, (dict, tuple)) else o)
         return (time.time() - t0) / reps * 1e3
 
     ms = t_block(step, dev_in, "ldpc_ok")
