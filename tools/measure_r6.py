@@ -124,8 +124,8 @@ def main():
     sc = vm(lambda zz: plsync.correlate(zz)[0])(z)
     starts = vm(lambda s: plsync.locate_frames(s, L, F,
                                                margin=rx.edge_margin)[0])(sc)
-    frames = jax.jit(jax.vmap(plsync.extract_frames,
-                              in_axes=(0, 0, None)))(z, starts, L)
+    frames = jax.jit(jax.vmap(
+        lambda zz, ss: plsync.extract_frames(zz, ss, L)))(z, starts)
     sync(jnp.abs(frames).sum())
     print("intermediates ready", flush=True)
 
