@@ -122,7 +122,23 @@ def main(argv=None):
             return lambda b: None
         return snk.send_raw if args.mode == "s" else snk.send_ts_chunked
 
-    streams = [make_stream() for _ in range(C)]
+    # multi-carrier S2 at a shared MODCOD: ONE fused device program for
+    # all carriers (models/bank_stream.DVBS2BankStream) instead of N
+    # independent receivers — the bank is the production path, not a
+    # bench construct (the reference runs N plugin instances,
+    # main.cpp:30,129). auto-MODCOD stays per-carrier -> N streams.
+    bank = None
+    if args.mode == "s2" and C > 1 and not args.auto_modcod:
+        from .models.bank_stream import DVBS2BankStream
+        from .parallel.mesh import bank_block_symbols
+        bank_bs = bank_block_symbols(C, mc=mc, short=short, pilots=pilots) \
+            if args.fec == "pallas" else args.block_symbols
+        bank = DVBS2BankStream(C, mc=mc, short=short, pilots=pilots,
+                               block_symbols=bank_bs, fec=args.fec,
+                               max_ldpc_trials=args.ldpc_trials)
+        streams = [bank]
+    else:
+        streams = [make_stream() for _ in range(C)]
     sinks = [make_sink(ci) for ci in range(C)]
     emits = [make_emit(s) for s in sinks]
     stream, out_sink, emit = streams[0], sinks[0], emits[0]
@@ -150,7 +166,7 @@ def main(argv=None):
             ingest.set_state(saved["ingest"])
         print(f"state restored from {args.state_file}", file=sys.stderr)
 
-    if args.mode == "s2":
+    if args.mode == "s2" and bank is None:
         # persist a successful auto-MODCOD vote, as the reference does
         # after reconfiguring (main.cpp:383-408 writes the voted modcod
         # back through config.acquire/release)
@@ -256,6 +272,11 @@ def main(argv=None):
                           f"symbolrate={sym} offset={off}",
                           file=sys.stderr)
                 elif cmd[0] == "modcod" and args.mode == "s2":
+                    if bank is not None:
+                        print("control: modcod is fixed for the fused "
+                              "carrier bank (restart with new settings)",
+                              file=sys.stderr)
+                        continue
                     mc_new = int(cmd[1])
                     short_new = True if "short" in cmd else \
                         False if "normal" in cmd else None
@@ -301,6 +322,19 @@ def main(argv=None):
         if args.control:
             poll_control()
         per = ingest.feed(base) if ingest is not None else [base]
+        if bank is not None:
+            datas = bank.feed(per)
+            for ci, d in enumerate(datas):
+                total_out += len(d)
+                emits[ci](d)
+            print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
+                  f"bank ok=" +
+                  "/".join(f"{int(o)}:{int(s)}" for o, s in
+                           zip(bank.frames_ok, bank.frames_seen)) +
+                  f" sync={bank.sync_quality.mean():.2f} "
+                  f"trials={int(bank.ldpc_trials.max(initial=0))}",
+                  file=sys.stderr)
+            continue
         data = stream.feed(per[0])
         total_out += len(data)
         emits[0](data)

@@ -89,8 +89,6 @@ class DVBS2Receiver:
         # get re-fetched at trace time, which the axon TPU backend cannot do
         payload_idx = plphase.payload_indices(cfg)
         descr = np.conj(scrambling.pl_scrambler_phasors()[:L - 90])
-        deint = interleaver.deinterleave_perm(
-            cfg.constellation, cfg.framesize, cfg.rate)
         m = cfg.mod_bits
 
         @jax.jit
@@ -149,7 +147,11 @@ class DVBS2Receiver:
             pls_idx, pls_conf = plhdr.detect_pls(frames_c[:, :90])
 
             llrs = demap.soft_demap(payload, cfg.constellation, cfg.g1, cfg.g2)
-            llrs = llrs.reshape(F, -1)[:, deint]
+            # column-twist deinterleave as slices+concat (identity for
+            # QPSK) — the [:, perm] gather this replaces cost 5 ms/block
+            # on chip even when the perm was the identity (PROFILE_r4.md)
+            llrs = interleaver.deinterleave_device(
+                llrs, cfg.constellation, cfg.framesize, cfg.rate)
             # constellation scatter: header (drawn highlighted by UIs, as
             # the reference does, main.cpp:522-529) + payload sample
             scat = jnp.concatenate([frames_c[0, :90], payload[0, :1958]])

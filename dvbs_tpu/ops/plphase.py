@@ -154,15 +154,20 @@ def _vv_group_phases(payload: jax.Array, theta0: jax.Array, group: int):
     z4 = jnp.sum(z ** 4, axis=2)                   # QPSK**4 removes data
     # QPSK^4 lands at angle 4*theta + pi (points at odd multiples of pi/4)
     raw = (jnp.angle(z4) - jnp.pi) / 4.0           # mod pi/2 ambiguity
-    def step(prev, r):
-        k = jnp.round((prev - r) / (jnp.pi / 2))
-        cur = r + k * (jnp.pi / 2)
-        return cur, cur
-    # tie the carry to the data so its sharding axes match under shard_map
-    carry0 = theta0 + 0.0 * raw[:, 0]
-    _, phases = jax.lax.scan(step, carry0, raw.T)
+    # unwrap = prefix sum, not a scan (a 360-step lax.scan cost ~3 ms
+    # per bank block on chip, PROFILE_r4.md): anchor group 0 at the
+    # multiple of pi/2 nearest theta0, then accumulate the mod-(pi/2)
+    # wrapped group-to-group steps — step-wise identical to the
+    # sequential "round to previous" unwrap because the accumulated
+    # correction is always an exact multiple of pi/2.
+    half = jnp.pi / 2
+    d = raw[:, 1:] - raw[:, :-1]
+    d = d - jnp.round(d / half) * half
+    base = raw[:, 0] + jnp.round((theta0 - raw[:, 0]) / half) * half
+    phases = base[:, None] + jnp.concatenate(
+        [jnp.zeros_like(raw[:, :1]), jnp.cumsum(d, axis=1)], axis=1)
     centers = (jnp.arange(G) + 0.5) * group
-    return phases.T, centers                       # [F, G], [G]
+    return phases, centers                         # [F, G], [G]
 
 
 def _interp_phases(phases: jax.Array, centers: jax.Array, P: int) -> jax.Array:

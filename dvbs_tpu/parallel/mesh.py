@@ -78,7 +78,9 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                        pilots: bool = False,
                        block_symbols: int = 1 << 17, n_iters: int = 12,
                        fec_chunk: int = 24, fec: str = "auto",
-                       ingest: str = "cs8", interpret_pallas: bool = False):
+                       ingest: str = "cs8", interpret_pallas: bool = False,
+                       stream_outputs: bool = False,
+                       n_iters_full: int = 32):
     """Single-device multi-carrier bank: the whole bank demodulates in one
     device program per block (vmap over the carrier axis), which amortizes
     the per-call host<->device latency — the BASELINE.json 8-carrier
@@ -104,6 +106,17 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     Returns (step_fn, example_input): step(samples_i8 [C, 2, n]) ->
     dict(kbch_bytes [C*F, kbch/8] uint8, trials [C*F], ldpc_ok [C*F],
     bch_bad [C*F], quality [C, F], pls [C, F]).
+
+    stream_outputs=True adds the fields the streaming driver
+    (models/bank_stream.DVBS2BankStream) needs: starts [C, F] (located
+    frame starts, for cross-block boundary continuity), cfo [C]
+    (applied coarse CFO), hard [C*F, nldpc] (device-resident hard
+    bits — only BCH-flagged rows are ever fetched for host repair) and
+    llrs [C*F, nldpc] (device-resident, for the rare full-budget
+    escalation rerun) — and the return becomes (step_fn, example,
+    escalate_fn) where escalate_fn(llrs) reruns the whole lane set at
+    the full `n_iters_full` trial budget (the host-level analogue of
+    the reference's bad()-gated retry, layered_decoder.hh:121-133).
     """
     import jax.numpy as jnp
     rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
@@ -143,29 +156,56 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         packed = frontend.pack_bits_to_bytes(hard[:, :kbch]) ^ bb_mask
         return packed, bch_bad
 
-    @jax.jit
-    def fec_xla(llrs):
-        from ..ops import ldpc_qc
-        hard, n_bad, trials = ldpc_qc.decode_qc(
-            llrs, rx.cfg.ldpc_table, n_iters=n_iters)
-        packed, bch_bad = pack_and_check(hard)
-        return dict(kbch_bytes=packed, trials=trials,
-                    ldpc_ok=n_bad == 0, bch_bad=bch_bad)
+    def make_fec_xla(iters):
+        @jax.jit
+        def fec_xla(llrs):
+            from ..ops import ldpc_qc
+            hard, n_bad, trials = ldpc_qc.decode_qc(
+                llrs, rx.cfg.ldpc_table, n_iters=iters)
+            packed, bch_bad = pack_and_check(hard)
+            d = dict(kbch_bytes=packed, trials=trials,
+                     ldpc_ok=n_bad == 0, bch_bad=bch_bad)
+            if stream_outputs:
+                d["hard"] = hard
+            return d
+        return fec_xla
 
-    @jax.jit
-    def fec_pallas(llrs):
-        # interpret_pallas=True runs the kernel in Pallas interpret mode
-        # so the full pallas-FEC bank is CPU-testable (tests only)
-        hard, n_bad, trials = ldpc_pallas.decode_qc_pallas(
-            ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
-            n_iters=n_iters, interpret=interpret_pallas)
-        packed, bch_bad = pack_and_check(hard)
-        # trials = per-frame sweep at which the in-kernel online
-        # syndrome first read zero (n_iters if never) — the reference's
-        # trials-used-or-max metric; the sweep loop also exits early
-        # once the whole batch is clean
-        return dict(kbch_bytes=packed, trials=trials,
-                    ldpc_ok=n_bad == 0, bch_bad=bch_bad)
+    def make_fec_pallas(iters):
+        @jax.jit
+        def fec_pallas(llrs):
+            # interpret_pallas=True runs the kernel in Pallas interpret
+            # mode so the full pallas-FEC bank is CPU-testable (tests)
+            hard, n_bad, trials = ldpc_pallas.decode_qc_pallas(
+                ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
+                n_iters=iters, interpret=interpret_pallas)
+            packed, bch_bad = pack_and_check(hard)
+            # trials = per-frame sweep at which the in-kernel online
+            # syndrome first read zero (n_iters if never) — the
+            # reference's trials-used-or-max metric; the sweep loop also
+            # exits early once the whole batch is clean
+            d = dict(kbch_bytes=packed, trials=trials,
+                     ldpc_ok=n_bad == 0, bch_bad=bch_bad)
+            if stream_outputs:
+                d["hard"] = hard
+            return d
+        return fec_pallas
+
+    fec_xla = make_fec_xla(n_iters)
+    fec_pallas = make_fec_pallas(n_iters)
+
+    def make_escalate():
+        """Full-budget rerun over every lane (chunked on the xla path
+        to stay under the decode_qc VMEM cliff)."""
+        if fec == "pallas":
+            return make_fec_pallas(n_iters_full)
+        full = make_fec_xla(n_iters_full)
+
+        def escalate(llrs):
+            parts = [full(llrs[lo:min(lo + fec_chunk, total)])
+                     for lo in range(0, total, fec_chunk)]
+            return {k: jnp.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+        return escalate
 
     if fec == "pallas":
         # ONE fused program: the "separate jit per stage" rule exists for
@@ -185,11 +225,16 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
             llrs = out.pop("llrs").reshape(total, N)
             fd = fec_pallas(llrs)
             fd.update(quality=out["quality"], pls=out["pls"])
+            if stream_outputs:
+                fd.update(starts=out["starts"], cfo=out["cfo"],
+                          freq=out["freq"], llrs=llrs)
             return fd
         if ingest == "cs4":
             example = np.zeros((n_carriers, 2 * block_symbols), np.uint8)
         else:
             example = np.zeros((n_carriers, 2, 2 * block_symbols), np.int8)
+        if stream_outputs:
+            return fused_step, example, make_escalate()
         return fused_step, example
 
     def step(samples_i8):
@@ -206,10 +251,15 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         fd = {k: jnp.concatenate([p[k] for p in parts])
               for k in parts[0]}
         fd.update(quality=out["quality"], pls=out["pls"])
+        if stream_outputs:
+            fd.update(starts=out["starts"], cfo=out["cfo"],
+                      freq=out["freq"], llrs=llrs)
         return fd
 
     if ingest == "cs4":
         example = np.zeros((n_carriers, 2 * block_symbols), np.uint8)
     else:
         example = np.zeros((n_carriers, 2, 2 * block_symbols), np.int8)
+    if stream_outputs:
+        return step, example, make_escalate()
     return step, example

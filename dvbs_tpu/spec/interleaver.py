@@ -76,3 +76,24 @@ def deinterleave_llrs(stream: np.ndarray, kind: str, framesize: str,
                       rate: str) -> np.ndarray:
     """RX: symbol-ordered LLR stream -> codeword order."""
     return stream[..., deinterleave_perm(kind, framesize, rate)]
+
+
+def deinterleave_device(llrs_sym, kind: str, framesize: str, rate: str):
+    """RX deinterleave for the device path: [..., P, m] per-symbol LLRs
+    -> [..., nldpc] codeword order, as reshape+slice+concat (TPU gathers
+    serialize; the column twist is structurally a transpose).
+
+    codeword[offs[k-1] + j] = stream[m*j + (m-k)] = llrs_sym[..., j, m-k]
+    (deinterleave_perm above), so column k's chunk is one strided slice;
+    QPSK is the identity (no interleaving, EN 302 307-1 sec. 5.3.3).
+    Equality with the perm gather is asserted in tests/test_spec.py.
+    """
+    import jax.numpy as jnp
+    m = MOD_BITS[kind]
+    flat = llrs_sym.reshape(*llrs_sym.shape[:-2], -1)
+    if kind == QPSK:
+        return flat
+    offs = column_offsets(kind, framesize, rate)
+    order = sorted(range(m), key=lambda k0: offs[k0])   # chunk k at offs[k]
+    return jnp.concatenate(
+        [llrs_sym[..., m - 1 - k0] for k0 in order], axis=-1)

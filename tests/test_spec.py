@@ -298,3 +298,25 @@ def test_8psk_interleaver_column_structure():
     perm35 = interleaver.deinterleave_perm(modcod.PSK8, modcod.NORMAL, "3/5")
     assert perm35[2 * 21600] == 2
     assert perm35[0] == 0 + 0 * 3  # y0 at offset 0 ... position 3j+0
+
+
+def test_deinterleave_device_equals_perm_gather():
+    """The structured (slice+concat) device deinterleave must equal the
+    perm-gather definition for every interleaved mode family."""
+    import jax.numpy as jnp
+    from dvbs_tpu.spec import interleaver, modcod as mc
+
+    cases = [(mc.QPSK, "normal", "1/2"), (mc.PSK8, "normal", "3/4"),
+             (mc.PSK8, "normal", "3/5"), (mc.PSK8, "short", "2/3"),
+             (mc.APSK16, "normal", "3/4"), (mc.APSK16, "short", "8/9"),
+             (mc.APSK32, "normal", "4/5")]
+    rng = np.random.default_rng(3)
+    for kind, fs, rate in cases:
+        perm = interleaver.deinterleave_perm(kind, fs, rate)
+        n = len(perm)
+        m = mc.MOD_BITS[kind]
+        stream = rng.standard_normal((2, n)).astype(np.float32)
+        want = stream[:, perm]
+        got = np.asarray(interleaver.deinterleave_device(
+            jnp.asarray(stream.reshape(2, n // m, m)), kind, fs, rate))
+        assert np.array_equal(got, want), (kind, fs, rate)
