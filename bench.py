@@ -5,9 +5,11 @@ This is the BASELINE.json north-star configuration: an 8-carrier channel
 bank demodulated END TO END — front end + sync + demap + LDPC (one int8
 B=128 Pallas kernel) + BCH syndromes + BB descramble all on device, TS
 parse in native C++ on host — with the carriers vmapped into one device
-program per block and a 3-deep software pipeline (upload block i+1 /
-compute block i / fetch+host-parse block i-1 all overlapped), mirroring
-the streaming driver's dispatch/finalize split (models/driver.py).
+program per block. Both the headline timing and the end-to-end loop run
+the PRODUCTION program: the same fused step that DVBS2BankStream (the
+shipped multi-carrier streaming driver, models/bank_stream.py and CLI
+--carrier) executes, and the e2e loop IS DVBS2BankStream.feed streaming
+distinct continuous signals across block seams.
 
 Headline value = DEVICE-RESIDENT throughput (input already in HBM):
 the official metric per BASELINE.md "Official metric" — a compute
@@ -15,12 +17,13 @@ number, because the harness reaches its chip through a debugging
 tunnel whose bandwidth swings 5-97 MB/s between sessions, an ingest
 path no production deployment has (PCIe/DMA feeds a real TPU host at
 GB/s, far above this workload's 16 MB/s-per-100-Msamp/s need at cs4).
-The quality gate stays end-to-end: every carrier's decoded TS bytes
-must match ITS OWN transmitted stream (8 distinct signals), and the
-host tail's standalone throughput is measured and reported
-(host_stage_msamples_per_s) to prove the host stages sustain the
-device rate — so the end-to-end number is bounded by upload bytes/s
-alone.
+
+Quality gates (the interop standard, test_interop.py): every carrier's
+decoded TS bytes must be a byte-exact CONTIGUOUS RUN of ITS OWN
+transmitted packet stream — no set-membership, no packet-count slack,
+no loss factor. The host tail's standalone throughput is measured and
+reported (host_stage_msamples_per_s) to prove the host stages sustain
+the device rate, so the e2e number is bounded by upload bytes/s alone.
 
 Input is packed 4-bit IQ (frontend.pack_cs4, 1 byte/sample) — at the
 5 dB operating point 4-bit quantization costs ~0 extra LDPC trials
@@ -28,9 +31,10 @@ Input is packed 4-bit IQ (frontend.pack_cs4, 1 byte/sample) — at the
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-plus secondary fields: e2e rate, host-stage rate, sustained ingest
-MB/s measured over the pipelined loop, and the DVB-S device-resident
-chain rate (dvbs_* fields, vs REFBENCH viterbi_12_synced).
+plus secondary fields: streamed e2e rate, host-stage rate, sustained
+ingest MB/s, the 8PSK 3/4 + pilots bank rate, the GSE->GRE gate, and
+the DVB-S device-resident streaming-bank rate (dvbs_* fields, vs
+REFBENCH viterbi_12_synced).
 
 Baseline denominator: measured from the reference's own code compiled
 headless at -O3 -march=native (tools/bench_reference.py -> REFBENCH.json,
@@ -51,50 +55,106 @@ REF_AGGREGATE = 61.4e6          # 4 cores x 15.35 Msamples/s (BASELINE.md)
 REF_DVBS_PER_CORE = 6.785e6     # REFBENCH viterbi_12_synced
 
 
-def bench_dvbs_device(jax, jnp):
-    """Device-resident DVB-S throughput: 8-carrier locked-chain bank
-    (front end + depuncture + Viterbi + re-encode BER + bitpack fused,
-    models/dvbs.py), input already in HBM. Quality gate: every
-    carrier's bits run through the native C++ host tail (deframe +
-    deinterleave + RS + descramble) and must reproduce that carrier's
-    OWN transmitted TS packets. Returns (msps, block_ms, host_msps)."""
-    from dvbs_tpu.parallel.dvbs_bank import build_dvbs_bank
+def contiguous_packets(got: bytes, sent: np.ndarray, label: str) -> int:
+    """got must be one byte-exact contiguous run of sent's packets
+    (the interop standard, test_interop.py:344-351)."""
+    g = np.frombuffer(got, np.uint8)
+    assert len(g) >= 188 and len(g) % 188 == 0, \
+        f"{label}: no/ragged TS output ({len(g)} B)"
+    gp = g.reshape(-1, 188)
+    i0 = sent.tobytes().find(gp[0].tobytes())
+    assert i0 >= 0 and i0 % 188 == 0, f"{label}: first packet not in TX"
+    k0 = i0 // 188
+    assert k0 + len(gp) <= len(sent), f"{label}: output beyond TX tail"
+    assert np.array_equal(gp, sent[k0:k0 + len(gp)]), \
+        f"{label}: output is not a contiguous run of the TX packets"
+    return len(gp)
+
+
+def s2_carrier_signal(cfg, n_pkts, seed, cfo, delay, payload="ts",
+                      snr_db=5.0):
+    """Distinct continuous impaired stream + its TX packet record."""
+    from dvbs_tpu.tx import dvbs2_mod, gse_mod, channel
+    if payload == "ts":
+        pkts = dvbs2_mod.random_ts_packets(n_pkts, seed=seed)
+        bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
+        sent = pkts.reshape(-1, 188)
+    else:
+        rng = np.random.default_rng(seed)
+        pdus = [rng.integers(1, 256, 300 + 13 * i).astype(np.uint8).tobytes()
+                for i in range(n_pkts)]
+        gp = []
+        for i, p in enumerate(pdus):
+            if i % 3 == 0 and len(p) > 400:
+                gp += gse_mod.gse_packets_fragmented(p, frag_id=i % 8,
+                                                     chunk=220)
+            else:
+                gp.append(gse_mod.gse_packet_unfrag(p))
+        bb = gse_mod.gse_to_bbframes(gp, cfg.kbch)
+        sent = pdus
+    tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
+    x = channel.shape(tx, sps=2)
+    y = channel.impair(x, snr_db=snr_db, cfo=cfo, delay_samples=delay,
+                       sco_ppm=10.0, seed=seed + 1)
+    return y, sent
+
+
+def time_step(jax, step, dev_in, sync_key, reps=10, hints=None):
+    """Per-call ms of a jitted device step (async dispatch, one sync)."""
+    o = step(dev_in) if hints is None else step(dev_in, hints)
+    np.asarray(jax.device_get(o[sync_key]))
+    t0 = time.time()
+    for _ in range(reps):
+        o = step(dev_in) if hints is None else step(dev_in, hints)
+    np.asarray(jax.device_get(o[sync_key]))
+    return (time.time() - t0) / reps * 1e3
+
+
+def bench_dvbs(jax, jnp):
+    """DVB-S via the production streaming bank (DVBSBankStream):
+    contiguous per-carrier TS across >= 3 block seams, then the
+    device-resident steady-state step rate. Returns (msps, ms, host_msps)."""
+    from dvbs_tpu.parallel.dvbs_bank import DVBSBankStream
     from dvbs_tpu.io.native import NativeDVBSTail
     from dvbs_tpu.tx import dvbs_mod, channel
+    from dvbs_tpu.ops import frontend
 
     n = 2 * (1 << 16)
+    blocks = 5
+    need = (blocks + 1) * n
     sigs, sents = [], []
     for c in range(N_CARRIERS):
-        ts = dvbs_mod.random_ts_groups(6, seed=40 + c)
+        ts = dvbs_mod.random_ts_groups(40, seed=40 + c)
         mod = dvbs_mod.DVBSModulator(rate="1/2")
         tx = mod.ts_to_symbols(ts)
-        x = channel.shape(tx, sps=2)
+        reps = -(-need // (2 * len(tx)))
+        x = channel.shape(np.tile(tx, reps), sps=2)
         y = channel.impair(x, snr_db=8.0, cfo=(0.004 + 0.002 * c) * np.pi,
-                           delay_samples=0.2 + 0.1 * c, seed=50 + c)
-        assert len(y) >= n
-        sigs.append(y[:n])
-        sents.append({r.tobytes() for r in ts.reshape(-1, 188)})
-    from dvbs_tpu.ops import frontend
-    samples = np.stack([frontend.pack_cs4(s) for s in sigs])
+                           delay_samples=0.2 + 0.1 * c, sco_ppm=10.0,
+                           seed=50 + c)
+        assert len(y) >= need
+        sigs.append(frontend.pack_cs4(y[:need]))
+        sents.append(np.tile(ts.reshape(-1, 188), (reps + 1, 1)))
 
-    step, _ = build_dvbs_bank(N_CARRIERS, rate="1/2", block_samples=n)
-    out = step(jnp.asarray(samples))
-    ber = np.asarray(jax.device_get(out["ber"]))
-    assert (ber < 0.05).all(), f"bench DVB-S chains must be clean: {ber}"
-    n_pairs = out["n_pairs"]
-    bitsp = np.asarray(jax.device_get(out["bits"]))
-    bits = np.unpackbits(bitsp, axis=1)[:, :n_pairs]
-    for c in range(N_CARRIERS):
-        got = NativeDVBSTail().feed(np.ascontiguousarray(bits[c]))
-        matched = sum(1 for r in got if r.tobytes() in sents[c])
-        assert len(got) >= 8 and matched >= len(got) - 16, \
-            f"carrier {c}: TS mismatch ({matched}/{len(got)})"
+    st = DVBSBankStream(N_CARRIERS, rate="1/2", block_samples=n,
+                        ingest="cs4")
+    outs = [bytearray() for _ in range(N_CARRIERS)]
+    for lo in range(0, need, n):
+        for c, o in zip(st.feed([s[lo:lo + n] for s in sigs]), outs):
+            o.extend(c)
+    assert st.locked.all() and (st.ber < 0.05).all(), \
+        f"DVB-S bank must stay locked: ber={st.ber}"
+    npkts = [contiguous_packets(bytes(outs[c]), sents[c], f"dvbs c{c}")
+             for c in range(N_CARRIERS)]
+    assert min(npkts) >= 100
 
-    # host-tail standalone rate: C++ deframe+deint+RS+descramble must
-    # sustain the device rate (each rep re-syncs at the block seam —
-    # strictly pessimistic)
-    bits_c = [np.ascontiguousarray(bits[c]) for c in range(N_CARRIERS)]
+    # host-tail standalone rate (C++ deframe+deint+RS+descramble) on the
+    # real decoded bits of the stream's final block
+    dev_in = st.last_debug["dev_in"]
+    hints = st.last_debug["hints"]
+    bits = np.unpackbits(st.last_debug["out"]["bits"], axis=1)
     tails = [NativeDVBSTail() for _ in range(N_CARRIERS)]
+    bits_c = [np.ascontiguousarray(bits[c]) for c in range(N_CARRIERS)]
     for c in range(N_CARRIERS):
         tails[c].feed(bits_c[c])
     t0 = time.time()
@@ -104,16 +164,49 @@ def bench_dvbs_device(jax, jnp):
             tails[c].feed(bits_c[c])
     host_msps = N_CARRIERS * n * host_reps / (time.time() - t0) / 1e6
 
-    dev_in = jax.device_put(jnp.asarray(samples))
-    o = step(dev_in)
-    np.asarray(jax.device_get(o["ber"]))       # sync
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        o = step(dev_in)
-    np.asarray(jax.device_get(o["ber"]))
-    ms = (time.time() - t0) / reps * 1e3
+    # device-resident steady-state rate
+    ms = time_step(jax, st.step, dev_in, "ber", reps=10, hints=hints)
     return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms, host_msps
+
+
+def bench_8psk_pilots(jax, jnp):
+    """BASELINE config 3 on chip: 8PSK 3/4 with pilots, fused bank,
+    contiguous TS gate. Returns (msps, ms)."""
+    from dvbs_tpu.spec import modcod
+    from dvbs_tpu.parallel.mesh import build_carrier_bank, bank_block_symbols
+    from dvbs_tpu.io.native import NativeTSParser
+    from dvbs_tpu.ops import frontend
+
+    mc = 14
+    cfg = modcod.get_config(mc, short=False, pilots=True)
+    BLOCK = bank_block_symbols(N_CARRIERS, mc=mc, short=False, pilots=True)
+    n = 2 * BLOCK
+    kb = cfg.kbch // 8
+    sigs, sents = [], []
+    for c in range(N_CARRIERS):
+        y, sent = s2_carrier_signal(cfg, 700, 110 + 3 * c,
+                                    (0.006 + 0.002 * c) * np.pi,
+                                    0.25 + 0.1 * c, snr_db=9.5)
+        assert len(y) >= n
+        sigs.append(frontend.pack_cs4(y[:n]))
+        sents.append(sent)
+    samples = np.stack(sigs)
+    step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=False,
+                                 pilots=True, block_symbols=BLOCK,
+                                 fec="pallas", ingest="cs4")
+    out = step(jnp.asarray(samples))
+    h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+    assert h["ldpc_ok"].all(), \
+        f"8psk pilots bank must decode: {h['ldpc_ok'].sum()}/128"
+    assert not h["bch_bad"].any()
+    F = h["quality"].shape[1]
+    kbb = np.ascontiguousarray(h["kbch_bytes"].reshape(N_CARRIERS, F, kb))
+    for c in range(N_CARRIERS):
+        got = NativeTSParser(cfg.kbch).feed(kbb[c])
+        contiguous_packets(got, sents[c], f"8psk c{c}")
+    dev_in = jax.device_put(jnp.asarray(samples))
+    ms = time_step(jax, step, dev_in, "ldpc_ok", reps=10)
+    return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms
 
 
 def main():
@@ -122,11 +215,12 @@ def main():
     jnp.arange(8.0).sum().block_until_ready()   # warm the device claim
 
     from dvbs_tpu.spec import modcod
-    from dvbs_tpu.tx import dvbs2_mod, channel
-    from dvbs_tpu.parallel.mesh import build_carrier_bank, bank_block_symbols
+    from dvbs_tpu.parallel.mesh import bank_block_symbols
+    from dvbs_tpu.models.bank_stream import DVBS2BankStream
     from dvbs_tpu.io import native as io_native
     assert io_native.available(), "run `make -C native` first"
     from dvbs_tpu.io.native import NativeTSParser
+    from dvbs_tpu.ops import frontend
 
     mc, short = 4, False          # QPSK 1/2, normal frames (B4)
     cfg = modcod.get_config(mc, short=short)
@@ -135,113 +229,109 @@ def main():
     BLOCK = bank_block_symbols(N_CARRIERS, mc=mc, short=short)
     n = 2 * BLOCK
     kb = cfg.kbch // 8
+    F = None
 
-    # one block of impaired IQ at the realistic operating point (5 dB:
-    # a few LDPC trials per frame) — a DISTINCT signal per carrier
-    # (independent payload/CFO/delay) so the vote, early-exit gate and
-    # per-carrier TS check all see mixed conditions
-    from dvbs_tpu.ops import frontend
+    # continuous impaired stream per carrier at the realistic operating
+    # point (5 dB: a few LDPC trials per frame) — DISTINCT signals
+    # (independent payload/CFO/delay), long enough for the streamed e2e
+    # loop to cross >= 4 block seams with look-ahead dispatch
+    E2E_BLOCKS = 4
     sigs, sents = [], []
     for c in range(N_CARRIERS):
-        pkts = dvbs2_mod.random_ts_packets(1800, seed=10 + c)
-        bb = dvbs2_mod.ts_to_bbframes(pkts, cfg)
-        tx = dvbs2_mod.bbframes_to_plframes(bb, cfg).reshape(-1)
-        x = channel.shape(tx, sps=2)
-        y = channel.impair(x, snr_db=5.0, cfo=(0.008 + 0.002 * c) * np.pi,
-                           delay_samples=0.2 + 0.1 * c, sco_ppm=10.0,
-                           seed=20 + c)
-        assert len(y) >= n
-        sigs.append(frontend.pack_cs4(y[:n]))
-        sents.append(pkts.tobytes())
-    samples = np.stack(sigs)
+        y, sent = s2_carrier_signal(cfg, 2000, 10 + 3 * c,
+                                    (0.008 + 0.002 * c) * np.pi,
+                                    0.2 + 0.1 * c)
+        sigs.append(frontend.pack_cs4(y))
+        sents.append(sent)
+    slen = min(len(s) for s in sigs)
+    sigs = [s[:slen] for s in sigs]
+    print(f"signals: {slen} samples/carrier", file=sys.stderr)
 
-    step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
-                                 block_symbols=BLOCK, fec="pallas",
-                                 ingest="cs4")
-    out = step(jnp.asarray(samples))            # compile + first run
-    out_h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
-    assert out_h["ldpc_ok"].all(), "bench signal must decode cleanly"
-    assert not out_h["bch_bad"].any(), "bench frames must be BCH-clean"
-
-    def host_process(h, parsers):
-        """Host tail of one fetched block: native TS parse per carrier
-        (BB descramble already happened on device)."""
-        total = 0
-        kbb = np.ascontiguousarray(h["kbch_bytes"].reshape(N_CARRIERS, -1, kb))
-        for c in range(N_CARRIERS):
-            total += len(parsers[c].feed(kbb[c]))
-        return total
-
-    # correctness: every carrier's host path must reproduce ITS OWN
-    # transmitted TS bytes
-    parsers = [NativeTSParser(cfg.kbch) for _ in range(N_CARRIERS)]
-    kbb = np.ascontiguousarray(out_h["kbch_bytes"].reshape(N_CARRIERS, -1, kb))
-    ts0 = 0
-    for c in range(N_CARRIERS):
-        got = parsers[c].feed(kbb[c])
-        assert len(got) >= 188 * 20 and sents[c].find(got[:188 * 5]) >= 0, \
-            f"carrier {c}: decoded TS does not match its transmitted stream"
-        ts0 += len(got)
-
-    # ---- host-stage standalone throughput: proves the host tail
-    # sustains (far exceeds) the device rate, so e2e is bounded by
-    # ingest alone
-    parsers = [NativeTSParser(cfg.kbch) for _ in range(N_CARRIERS)]
-    host_process(out_h, parsers)               # warm/resync
-    t0 = time.time()
-    host_reps = 20
-    for _ in range(host_reps):
-        host_process(out_h, parsers)
-    host_s = (time.time() - t0) / host_reps
-    host_msps = N_CARRIERS * n / host_s / 1e6
+    # the production bank stream — its fused program is the headline
+    # step AND the e2e engine AND (shared) the GSE gate's program
+    st = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
+                         block_symbols=BLOCK, fec="pallas", ingest="cs4")
+    step = st.step_fn
+    F = st.F
 
     # ---- HEADLINE: device-resident block rate (input already in HBM) —
     # the pure compute rate a PCIe/DMA-ingest deployment sustains
-    dev_in = jax.device_put(jnp.asarray(samples))
-    _ = step(dev_in)
-    np.asarray(jax.device_get(_["ldpc_ok"]))   # sync (axon
-    #                                            block_until_ready no-op)
-    t0 = time.time()
-    dev_reps = 10
-    for _i in range(dev_reps):
-        o = step(dev_in)
-    np.asarray(jax.device_get(o["ldpc_ok"]))
-    dev_ms = (time.time() - t0) / dev_reps * 1e3
+    samples0 = np.stack([s[:n] for s in sigs])
+    dev_in = jax.device_put(jnp.asarray(samples0))
+    out = step(dev_in)
+    ok = np.asarray(jax.device_get(out["ldpc_ok"]))
+    assert ok.all(), f"bench signal must decode cleanly ({ok.sum()}/128)"
+    assert not np.asarray(jax.device_get(out["bch_bad"])).any()
+    dev_ms = time_step(jax, step, dev_in, "ldpc_ok", reps=10)
     dev_msps = N_CARRIERS * n / (dev_ms * 1e-3) / 1e6
 
-    # ---- secondary: tunnel-fed end-to-end TS rate, 3-deep pipeline
-    # (upload i+1 || compute i || fetch + host-parse i-1). Rep count
-    # adapts to the tunnel's mood so a 5 MB/s session still finishes.
-    t0 = time.time()
-    up = jax.device_put(jnp.asarray(samples))
-    np.asarray(jax.device_get(up[0, :1]))
-    up_s = time.time() - t0
-    reps = int(np.clip(30.0 / max(up_s, 1e-3), 3, 10))
-    fetch_keys = ("kbch_bytes", "ldpc_ok", "bch_bad", "trials")
+    # ---- host-stage standalone throughput (native C++ TS parse):
+    # proves the host tail sustains (far exceeds) the device rate
+    kbb0 = np.ascontiguousarray(np.asarray(
+        jax.device_get(out["kbch_bytes"])).reshape(N_CARRIERS, F, kb))
     parsers = [NativeTSParser(cfg.kbch) for _ in range(N_CARRIERS)]
-    prev = None
-    ts_bytes = 0
+    for c in range(N_CARRIERS):
+        parsers[c].feed(kbb0[c])
     t0 = time.time()
-    for _ in range(reps):
-        dev_next = jax.device_put(jnp.asarray(samples))
-        out = step(dev_next)
-        if prev is not None:
-            h = {k: np.asarray(jax.device_get(prev[k])) for k in fetch_keys}
-            ts_bytes += host_process(h, parsers)
-        prev = out
-    h = {k: np.asarray(jax.device_get(prev[k])) for k in fetch_keys}
-    ts_bytes += host_process(h, parsers)
-    dt = (time.time() - t0) / reps
-    assert ts_bytes >= reps * ts0 * 0.9
-    e2e_msps = N_CARRIERS * n / dt / 1e6
-    # sustained ingest over the WHOLE pipelined loop (upload bytes /
-    # wall time): a lower bound on the tunnel's sustained rate, unlike
-    # a single device_put sample which can eat a latency spike
-    ingest_mb_per_s = samples.nbytes * reps / (dt * reps) / 1e6
+    host_reps = 20
+    for _ in range(host_reps):
+        for c in range(N_CARRIERS):
+            parsers[c].feed(kbb0[c])
+    host_msps = N_CARRIERS * n * host_reps / (time.time() - t0) / 1e6
 
-    # ---- DVB-S chain, device-resident (REFBENCH viterbi_12_synced is
-    # the per-core bar: 6.79 Msamples/s)
-    dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs_device(jax, jnp)
+    # ---- e2e: DVBS2BankStream streaming the continuous signals through
+    # the tunnel (pre-packed cs4 chunks), strict contiguous TS per carrier
+    st_e2e = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
+                             block_symbols=BLOCK, fec="pallas",
+                             ingest="cs4", program=st.program)
+    need = n + E2E_BLOCKS * 2 * (F * cfg.plframe_len)
+    assert slen >= need, (slen, need)
+    chunk = n // 2
+    outs = [bytearray() for _ in range(N_CARRIERS)]
+    fed = 0
+    t0 = time.time()
+    while fed < need:
+        e = min(fed + chunk, need)
+        for c, o in zip(st_e2e.feed([s[fed:e] for s in sigs]), outs):
+            o.extend(c)
+        fed = e
+    dt = time.time() - t0
+    e2e_msps = N_CARRIERS * fed / dt / 1e6
+    ingest_mb_per_s = N_CARRIERS * fed / dt / 1e6   # cs4: 1 B/sample
+    assert (st_e2e.frames_ok == st_e2e.frames_seen).all(), \
+        f"e2e frames lost: {st_e2e.frames_ok} of {st_e2e.frames_seen}"
+    for c in range(N_CARRIERS):
+        npk = contiguous_packets(bytes(outs[c]), sents[c], f"e2e c{c}")
+        assert npk >= (E2E_BLOCKS + 1) * F * (kb // 188) - 2
+
+    # ---- GSE -> GRE gate through the SAME compiled program
+    gse_sigs, gse_pdus = [], []
+    for c in range(N_CARRIERS):
+        y, pdus = s2_carrier_signal(cfg, 30, 210 + 3 * c,
+                                    (0.006 + 0.002 * c) * np.pi,
+                                    0.3 + 0.07 * c, payload="gse",
+                                    snr_db=6.0)
+        reps = -(-int(1.6 * n) // len(y))
+        gse_sigs.append(frontend.pack_cs4(np.tile(y, reps))[:2 * n])
+        gse_pdus.append(pdus)
+    st_gse = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
+                             block_symbols=BLOCK, fec="pallas",
+                             ingest="cs4", program=st.program)
+    gouts = st_gse.feed(gse_sigs)
+    gse_found = 0
+    for c in range(N_CARRIERS):
+        blob = bytes(gouts[c])
+        gse_found += sum(1 for p in gse_pdus[c]
+                         if (b"\x00\x00\x08\x00" + p) in blob)
+    gse_total = sum(len(p) for p in gse_pdus)
+    assert gse_found >= gse_total - N_CARRIERS * 2, \
+        f"GSE: only {gse_found}/{gse_total} PDUs recovered"
+
+    # ---- 8PSK 3/4 + pilots bank (BASELINE config 3) on chip
+    psk_msps, psk_ms = bench_8psk_pilots(jax, jnp)
+
+    # ---- DVB-S streaming bank (REFBENCH viterbi_12_synced per-core bar)
+    dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs(jax, jnp)
 
     print(json.dumps({
         "metric": "dvbs2_qpsk12_8carrier_device_throughput",
@@ -253,11 +343,15 @@ def main():
         "e2e_ts_msamples_per_s": round(e2e_msps, 4),
         "e2e_vs_baseline": round(e2e_msps * 1e6 / REF_AGGREGATE, 4),
         "ingest_mb_per_s_sustained": round(ingest_mb_per_s, 1),
+        "s2_8psk34_pilots_device_msamples_per_s": round(psk_msps, 2),
+        "s2_8psk34_pilots_block_ms": round(psk_ms, 2),
+        "gse_gre_pdus_ok": f"{gse_found}/{gse_total}",
         "dvbs_device_msamples_per_s": round(dvbs_msps, 2),
         "dvbs_block_ms": round(dvbs_ms, 2),
         "dvbs_vs_ref_core": round(dvbs_msps * 1e6 / REF_DVBS_PER_CORE, 3),
         "dvbs_host_stage_msamples_per_s": round(dvbs_host_msps, 1),
-        "ingest": "cs4 (1 B/sample); e2e rides the axon debug tunnel",
+        "ingest": "cs4 (1 B/sample); e2e rides the axon debug tunnel; "
+                  "gates = contiguous byte-exact TS/GRE per carrier",
     }))
     return 0
 

@@ -39,7 +39,7 @@ class DVBS2BankStream:
                  fec: str = "auto", ingest: str = "f16",
                  n_iters: int = 12, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6,
-                 interpret_pallas: bool = False):
+                 interpret_pallas: bool = False, program=None):
         from ..parallel.mesh import build_carrier_bank, bank_block_symbols
         if block_symbols is None:
             block_symbols = bank_block_symbols(n_carriers, mc=mc,
@@ -49,12 +49,18 @@ class DVBS2BankStream:
         self.block_symbols = block_symbols
         self.sof_threshold = sof_threshold
         self.ingest = ingest
-        self.step_fn, self._example, self._escalate = build_carrier_bank(
-            n_carriers, mc=mc, short=short, pilots=pilots,
-            block_symbols=block_symbols, n_iters=n_iters, fec=fec,
-            ingest="cs4" if ingest == "cs4" else "cs8",
-            interpret_pallas=interpret_pallas, stream_outputs=True,
-            n_iters_full=max_ldpc_trials)
+        if program is not None:
+            # share an already-built (compiled) bank program between
+            # streams of identical geometry (bench reuses one program
+            # for the TS and GSE quality gates)
+            self.step_fn, self._example, self._escalate = program
+        else:
+            self.step_fn, self._example, self._escalate = build_carrier_bank(
+                n_carriers, mc=mc, short=short, pilots=pilots,
+                block_symbols=block_symbols, n_iters=n_iters, fec=fec,
+                ingest="cs4" if ingest == "cs4" else "cs8",
+                interpret_pallas=interpret_pallas, stream_outputs=True,
+                n_iters_full=max_ldpc_trials)
         self.n_iters = n_iters
         # geometry mirrors DVBS2Receiver (mesh builds the same core)
         L = self.cfg.plframe_len
@@ -72,12 +78,22 @@ class DVBS2BankStream:
         self.ldpc_trials = np.zeros(n_carriers, np.int32)
         self.sync_quality = np.zeros(n_carriers, np.float32)
 
+    @property
+    def program(self):
+        """(step_fn, example, escalate_fn) — pass as `program=` to build
+        another stream of identical geometry without recompiling."""
+        return self.step_fn, self._example, self._escalate
+
     # ------------------------------------------------------------------
     def _upload(self, blocks: np.ndarray):
         """blocks [C, n] complex64 -> device input in the bank's ingest
-        format (cs4 packs on host; cs8 quantizes at 4.5 bits rms)."""
+        format (cs4 packs on host; cs8 quantizes at 4.5 bits rms).
+        Pre-packed cs4 feeds (uint8 FIFOs, 1 byte = 1 sample) pass
+        through untouched."""
         import jax.numpy as jnp
         from ..ops import frontend
+        if blocks.dtype == np.uint8:
+            return jnp.asarray(blocks)
         if self.ingest == "cs4":
             packed = np.stack([frontend.pack_cs4(b) for b in blocks])
             return jnp.asarray(packed)
@@ -102,8 +118,12 @@ class DVBS2BankStream:
         DVBS2Stream.feed: the look-ahead block dispatches with the
         predicted per-carrier advance before block i finalizes."""
         for c in range(self.C):
-            self._fifos[c] = np.concatenate(
-                [self._fifos[c], np.asarray(per_carrier[c], np.complex64)])
+            part = np.asarray(per_carrier[c])
+            if part.dtype != np.uint8:          # pre-packed cs4 passthrough
+                part = part.astype(np.complex64)
+            if self._fifos[c].dtype != part.dtype and not len(self._fifos[c]):
+                self._fifos[c] = np.zeros(0, part.dtype)
+            self._fifos[c] = np.concatenate([self._fifos[c], part])
         outs = [bytearray() for _ in range(self.C)]
         n = 2 * self.block_symbols
         L = self.cfg.plframe_len
@@ -227,8 +247,7 @@ class DVBS2BankStream:
     def set_state(self, st: dict):
         assert st["pls_code"] == self.cfg.pls_code, \
             "bank checkpoint MODCOD mismatch (rebuild the bank)"
-        self._fifos = [np.asarray(f, np.complex64).copy()
-                       for f in st["fifos"]]
+        self._fifos = [np.asarray(f).copy() for f in st["fifos"]]
         self._next_adv = np.asarray(st["next_adv"], np.int64).copy()
         for p, ps in zip(self.parsers, st["parser_state"]):
             p.set_state(ps)

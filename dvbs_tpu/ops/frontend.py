@@ -269,19 +269,24 @@ _RESAMPLE_SPAN = 4    # max |t(k) - 2k| the gather-free resampler supports
 
 def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
                        n_phases: int = 128, n_taps: int = 8) -> jax.Array:
-    """Gather-free polyphase resampling on a rebased window.
+    """Gather-free polyphase resampling on rebased windows (batched).
 
-    y: [>= 2*S_out + 6*_RESAMPLE_SPAN] samples; t: [S_out] positions into
-    y with t[k] - 2k in [_RESAMPLE_SPAN, 3*_RESAMPLE_SPAN] (the caller
-    rebases so the drift fits this band).  TPU gathers serialize; the
-    8-tap window is assembled by one-hot selection over contiguous
-    even/odd-phase slices, and the per-symbol filter comes from a one-hot
-    [S, n_phases] matmul against the bank (rides the MXU).
+    y: [..., >= 2*S_out + 6*_RESAMPLE_SPAN] samples; t: [..., S_out]
+    positions into y (per leading-dim window) with t[k] - 2k in
+    [_RESAMPLE_SPAN, 3*_RESAMPLE_SPAN] (the caller rebases so the drift
+    fits this band).  TPU gathers serialize; the 8-tap window is
+    assembled by one-hot selection over contiguous even/odd-phase
+    slices, and the per-symbol filter comes from a one-hot
+    [..., n_phases] matmul against the bank (rides the MXU).
+    Leading dims batch whole windows: resample_windowed stacks its 64
+    rebased windows here so every op is [W, w]-shaped — the per-window
+    formulation was ~6000 tiny HLO ops and scheduling-bound at 14 ms a
+    bank block (PROFILE_r4.md).
     """
     SP = _RESAMPLE_SPAN
     S = S_out
-    ye = y[0::2]
-    yo = y[1::2]
+    ye = y[..., 0::2]
+    yo = y[..., 1::2]
     k = jnp.arange(S)
     i0 = jnp.floor(t).astype(jnp.int32)
     mu = t - i0
@@ -291,25 +296,25 @@ def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
     c_lo = SP - 1 - (n_taps // 2 - 1)
     c_hi = 3 * SP + 1 - (n_taps // 2 - 1)
     base = jnp.clip(i0 - (n_taps // 2 - 1) - 2 * k, c_lo, c_hi)
-    onehot = base[:, None] == jnp.arange(c_lo, c_hi + 1)[None, :]
+    onehot = base[..., None] == jnp.arange(c_lo, c_hi + 1)
     bank = jnp.asarray(interp_bank(n_phases, n_taps))  # [128, 8]
-    ph1h = (ph[:, None] == jnp.arange(n_phases)[None, :]).astype(jnp.float32)
-    taps = jnp.dot(ph1h, bank, preferred_element_type=jnp.float32)  # [S, 8]
-    # window assembly by one-hot select, everything in [S]-shaped
-    # lane-major vectors. (A "fold the select into [S, nc+7]
-    # coefficients" variant looked 4x cheaper by op count but measured
-    # ~10x SLOWER on hardware: the [S, 26] arrays sit far below the
-    # 128-lane tile, so every column update/extract is a relayout —
-    # tools/profile_tpu.py showed the timing stage at 243 ms vs ~25 ms.)
-    out = jnp.zeros(S, y.dtype)
+    ph1h = (ph[..., None] == jnp.arange(n_phases)).astype(jnp.float32)
+    taps = jnp.dot(ph1h, bank,
+                   preferred_element_type=jnp.float32)  # [..., S, 8]
+    # window assembly by one-hot select in lane-major vectors. (A "fold
+    # the select into [S, nc+7] coefficients" variant looked 4x cheaper
+    # by op count but measured ~10x SLOWER on hardware: the [S, 26]
+    # arrays sit far below the 128-lane tile, so every column
+    # update/extract is a relayout.)
+    out = jnp.zeros(t.shape, y.dtype)
     for j in range(n_taps):
-        acc = jnp.zeros(S, y.dtype)
+        acc = jnp.zeros(t.shape, y.dtype)
         for ci, c in enumerate(range(c_lo, c_hi + 1)):
             idx = c + j
-            src = ye[idx // 2: idx // 2 + S] if idx % 2 == 0 else \
-                yo[idx // 2: idx // 2 + S]
-            acc = acc + jnp.where(onehot[:, ci], src, 0.0)
-        out = out + acc * taps[:, j]
+            src = ye[..., idx // 2: idx // 2 + S] if idx % 2 == 0 else \
+                yo[..., idx // 2: idx // 2 + S]
+            acc = acc + jnp.where(onehot[..., ci], src, 0.0)
+        out = out + acc * taps[..., j]
     return out.astype(jnp.complex64)
 
 
@@ -330,9 +335,12 @@ def recover_symbols(y2: jax.Array, n_windows: int = 8,
 
 
 def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
-                         tau_hint: jax.Array | None = None):
-    """As recover_symbols but also returns tau extrapolated to the block
-    end (the next block's tau_hint)."""
+                         tau_hint: jax.Array | None = None,
+                         tau_eval: int | None = None):
+    """As recover_symbols but also returns tau extrapolated to sample
+    position `tau_eval` (default: the block end) — the tau_hint of a
+    next block that starts there (streaming overlap consumes less than
+    the whole block, parallel/dvbs_bank.DVBSBankStream)."""
     n2 = y2.shape[-1]
     win = (n2 // n_windows) & ~1   # even stride: odd sample offsets alias
     terms = _oerder_meyr_terms(y2)  # one shared interpolator pass
@@ -358,7 +366,8 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     n_nom = 2.0 * k
     tau_n = jnp.mean(tau_u) + slope * (n_nom - c0) / scale
     t = jnp.clip(n_nom - 2.0 * tau_n, 0.0, n2 - 1.0)
-    tau_end = jnp.mean(tau_u) + slope * (n2 - c0) / scale
+    pos = n2 if tau_eval is None else tau_eval
+    tau_end = jnp.mean(tau_u) + slope * (pos - c0) / scale
     return resample_windowed(y2, t), tau_u, tau_end
 
 
@@ -389,25 +398,124 @@ def _auto_windows(S: int) -> int:
     return W
 
 
+# ---------------------------------------------------------------------------
+# Farrow resampler: per-tap polynomials in the fractional delay.
+#
+# The LUT-free successor of the one-hot polyphase selector: evaluating
+# the (normalized) interpolation taps as polynomials of the continuous
+# delay d costs ~100 f32 fused multiply-adds per symbol on [W, w]-shaped
+# arrays — no one-hot matmul ([S, 128] f32 = 280 MB of HBM traffic per
+# carrier), no candidate where-selects (88 masked passes over the
+# stream), both of which made the selector HBM-bound at 14+ ms per bank
+# block (PROFILE_r4.md). Accuracy: the fit residual is held below the
+# bank's own 128-phase quantization error (asserted in
+# tests/test_frontend_ops.py).
+# ---------------------------------------------------------------------------
+
+_FARROW_TAPS = 10          # candidates c = 0..9, y-index 2k + r - 4 + c
+_FARROW_DEG = 9            # per-tap polynomial degree
+_FARROW_LO, _FARROW_HI = 3.3, 4.7   # fitted band d = (g - r) + 4
+# (band = 4 + mu with mu in [-0.5, 0.5] + in-tile drift 0.13 + slack)
+_TILE_SYM = 256            # symbols per barrel tile (512 samples)
+_SHIFT_BITS = 10           # integer drift range: r + bias in [0, 1024)
+
+
+@functools.lru_cache()
+def _farrow_coeffs(n_taps: int = 8):
+    """LSQ per-candidate polynomial fit of the per-delay-NORMALIZED
+    windowed-sinc kernel over the band. Returns ([TAPS, DEG+1] float32
+    highest power first, mid, half) in u = (d - mid)/half coords."""
+    d = np.linspace(_FARROW_LO, _FARROW_HI, 1024)
+    half_sup = n_taps / 2.0
+    vals = np.zeros((len(d), _FARROW_TAPS))
+    for ci in range(_FARROW_TAPS):
+        u = d - ci
+        wnd = 0.54 + 0.46 * np.cos(np.pi * u / half_sup)
+        vals[:, ci] = np.sinc(u) * np.where(np.abs(u) <= half_sup, wnd, 0.0)
+    vals /= vals.sum(axis=1, keepdims=True)     # unity DC gain per delay
+    mid = (_FARROW_LO + _FARROW_HI) / 2.0
+    halfr = (_FARROW_HI - _FARROW_LO) / 2.0
+    un = (d - mid) / halfr
+    V = np.vander(un, _FARROW_DEG + 1)          # highest power first
+    coef, *_ = np.linalg.lstsq(V, vals, rcond=None)
+    err = np.abs(V @ coef - vals).max()
+    assert err < 1e-3, f"farrow fit residual {err}"
+    return coef.T.astype(np.float32), mid, halfr   # [TAPS, DEG+1]
+
+
 def resample_windowed(y2: jax.Array, t: jax.Array,
                       n_windows: int | None = None) -> jax.Array:
-    """Symbol-grid resampling with unbounded linear drift: the stream is
-    cut into windows, each rebased by an even dynamic offset so the
-    gather-free selector's span only has to cover the in-window drift."""
+    """Symbol-grid resampling with unbounded (slow) linear drift, fully
+    vectorized: a tile-granular BARREL SHIFTER aligns the integer part
+    of the delay (log2 masked static-slice stages over [T, cols] rows —
+    no per-window dynamic slices, no per-symbol one-hot selects), then
+    a narrow-band Farrow interpolator evaluates the taps as polynomials
+    of the fractional delay (no 128-phase LUT / one-hot matmul).
+
+    t: positions into y2, t[k] ~ 2k + drift with |d(t-2k)/dk| <=
+    2*_MAX_SCO and total in-block drift < 2^(_SHIFT_BITS-1) samples.
+    The per-tile constant integer shift is exact as long as the
+    in-tile drift (2*_TILE_SYM*2*_MAX_SCO = 0.26 samples) stays inside
+    the Farrow band's headroom.
+
+    The selector this replaces (one-hot over 11 candidates x 8 taps +
+    a [S, 128] one-hot tap matmul) was HBM-bound at 14+ ms per 8-carrier
+    bank block; this formulation is ~10 masked passes + ~100 f32 FMAs
+    per symbol (PROFILE_r4.md).
+    """
+    del n_windows                     # legacy knob (window-free now)
     S = t.shape[-1]
-    if n_windows is None:
-        n_windows = _auto_windows(S)
-    assert S % n_windows == 0
-    w = S // n_windows
-    P = 4 * _RESAMPLE_SPAN
-    yp = jnp.pad(y2, (P, P + 2 * _RESAMPLE_SPAN + 16))
-    outs = []
-    for wi in range(n_windows):
-        tw = jax.lax.dynamic_slice(t, (wi * w,), (w,))
-        base = 2 * jnp.round((tw[0] - 0.0) / 2.0).astype(jnp.int32)
-        seg = jax.lax.dynamic_slice(
-            yp, (base + P - 2 * _RESAMPLE_SPAN,),
-            (2 * w + 6 * _RESAMPLE_SPAN,))
-        t_loc = tw - base.astype(tw.dtype) + 2 * _RESAMPLE_SPAN
-        outs.append(resample_half_grid(seg, t_loc, S_out=w))
-    return jnp.concatenate(outs)
+    TS = _TILE_SYM
+    nt = -(-S // TS)
+    Sp = nt * TS
+    coef_np, mid, halfr = _farrow_coeffs()
+    coef = jnp.asarray(coef_np)
+    bias = 1 << (_SHIFT_BITS - 1)
+    k = jnp.arange(Sp, dtype=t.dtype)
+    tp = jnp.pad(t, (0, Sp - S), mode="edge") if Sp != S else t
+    g = tp - 2 * k                                   # delay vs nominal
+    # per-tile integer shift from the tile's center delay
+    gt = g.reshape(nt, TS)
+    r = jnp.round(0.5 * (gt[:, TS // 2 - 1] + gt[:, TS // 2])
+                  ).astype(jnp.int32)                # [nt]
+    rb = jnp.clip(r + bias, 0, 2 * bias - 1)
+    d = gt - r[:, None].astype(t.dtype) + 4.0        # [nt, TS] in band
+    u = (jnp.clip(d, _FARROW_LO, _FARROW_HI) - mid) / halfr
+    # rows: tile ti needs y2[2*TS*ti + r_ti - 4 + c + 2j] for j<TS, c<10
+    # = ypp[2*TS*ti + rb_ti + col], ypp = y2 padded left by bias+4.
+    # Build [nt, 4*TS] overlapping rows by reshape (static), widen to
+    # cover the shift range, then barrel-shift by rb per tile.
+    width = 2 * TS + (2 * bias - 1) + _FARROW_TAPS
+    nrows_needed = 2 * TS * (nt - 1) + width
+    nb = -(-nrows_needed // (2 * TS)) + 1
+    need_len = (nb + 1) * 2 * TS
+    ypp = jnp.pad(y2, (bias + 4, 0))
+    ypp = jnp.pad(ypp, (0, max(0, need_len - ypp.shape[0])))
+    a = ypp[:need_len].reshape(nb + 1, 2 * TS)
+    wide = jnp.concatenate([a[:-1], a[1:]], axis=1)   # [nb, 4*TS] overlap
+    # rows[ti] = ypp[2*TS*ti : 2*TS*ti + width]: stack row pairs until
+    # width covered (width/(2TS) ~ 3 chunks)
+    chunks = []
+    covered = 0
+    while covered < width:
+        src = wide[covered // (2 * TS): covered // (2 * TS) + nt, :]
+        chunks.append(src[:, :min(2 * TS, width - covered)]
+                      if covered + 2 * TS > width else src[:, :2 * TS])
+        covered += 2 * TS
+    rows = jnp.concatenate(chunks, axis=1)[:, :width]  # [nt, width]
+    # barrel shift: drop rb columns from the left, log2 stages
+    for b in reversed(range(_SHIFT_BITS)):
+        step = 1 << b
+        bit = ((rb >> b) & 1).astype(bool)[:, None]
+        w0 = rows.shape[1] - step
+        rows = jnp.where(bit, rows[:, step:], rows[:, :w0])
+    # rows now [nt, 2*TS + TAPS - 1 + ...]: column (2j + c) = the c-th
+    # tap sample of symbol j
+    out = jnp.zeros((nt, TS), y2.dtype)
+    for ci in range(_FARROW_TAPS):
+        tap = jnp.full((nt, TS), coef_np[ci, 0])
+        for dg in range(1, _FARROW_DEG + 1):
+            tap = tap * u + coef[ci, dg]
+        out = out + tap * jax.lax.slice(
+            rows, (0, ci), (nt, ci + 2 * TS), (1, 2))
+    return out.reshape(Sp)[:S].astype(jnp.complex64)

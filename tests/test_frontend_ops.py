@@ -109,3 +109,29 @@ def test_resample_half_grid_matches_brute_force():
         idx = i0 - 3 + np.arange(8)
         g[k] = (y[idx] * bank[ph]).sum()
     assert np.abs(out - g).max() < 2e-5
+
+
+def test_farrow_resampler_matches_polyphase_bank():
+    """The Farrow per-tap polynomials must reproduce the 128-phase
+    windowed-sinc bank (resample_at) to well under a percent rms on a
+    band-limited signal with SCO drift."""
+    import jax.numpy as jnp
+    from dvbs_tpu.tx import channel
+    rng = np.random.default_rng(3)
+    n = 1 << 14
+    sym = ((rng.integers(0, 2, n // 2) * 2 - 1) +
+           1j * (rng.integers(0, 2, n // 2) * 2 - 1)).astype(np.complex64)
+    y = channel.shape(sym, sps=2)[:n]
+    S = n // 2
+    k = np.arange(S)
+    for tau, sco in ((0.3, 180e-6), (-0.45, -240e-6), (0.05, 0.0)):
+        t = np.clip(2.0 * k + 2 * tau + 2 * sco * k, 0, n - 1.0
+                    ).astype(np.float32)
+        ref = np.asarray(frontend.resample_at(jnp.asarray(y),
+                                              jnp.asarray(t)))
+        got = np.asarray(frontend.resample_windowed(jnp.asarray(y),
+                                                    jnp.asarray(t)))
+        m = slice(64, S - 64)
+        scale = np.abs(ref[m]).mean()
+        err = np.abs(got[m] - ref[m]) / scale
+        assert err.max() < 0.02 and err.mean() < 0.005, (tau, sco, err.max())
