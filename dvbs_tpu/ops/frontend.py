@@ -364,10 +364,39 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     slope = jnp.sum(u * (tau_u - jnp.mean(tau_u))) / jnp.sum(u * u)
     k = jnp.arange(n2 // 2)
     n_nom = 2.0 * k
-    tau_n = jnp.mean(tau_u) + slope * (n_nom - c0) / scale
+    tau_line = jnp.mean(tau_u) + slope * (n_nom - c0) / scale
+    # robustness: a timing STEP mid-block (cable swap, source restart)
+    # breaks the global line — every symbol's grid would be off by up to
+    # half the step. When the fit residual says the path isn't a line,
+    # switch to piecewise-linear interpolation through the window
+    # estimates (uniform centers -> pure reshape/broadcast, no gather):
+    # only the window containing the step stays degraded, matching the
+    # reference's loop-reconverges-in-one-burst behavior (gardner.cpp).
+    resid = tau_u - (jnp.mean(tau_u) + slope * u)
+    use_pw = jnp.max(jnp.abs(resid)) > 0.07
+    d = tau_u[1:] - tau_u[:-1]                         # [W-1]
+    # symbol-domain piecewise build (segment = win/2 symbols between
+    # window centers; reshape/broadcast only, no gather). Falls back to
+    # the line when the symbol grid doesn't tile cleanly.
+    S_out = n2 // 2
+    seg = win // 2
+    pw_ok = win % 4 == 0 and seg * (n_windows - 1) + 2 * (seg // 2) == S_out
+    if pw_ok:
+        frac = jnp.arange(seg, dtype=jnp.float32) / seg
+        body = (tau_u[:-1, None] + d[:, None] * frac[None, :]).reshape(-1)
+        h = seg // 2
+        head = tau_u[0] + d[0] * (jnp.arange(h, dtype=jnp.float32) - h) / seg
+        tail = tau_u[-1] + d[-1] * jnp.arange(h, dtype=jnp.float32) / seg
+        tau_pw_n = jnp.concatenate([head, body, tail])
+        tau_n = jnp.where(use_pw, tau_pw_n, tau_line)
+    else:
+        tau_n = tau_line
     t = jnp.clip(n_nom - 2.0 * tau_n, 0.0, n2 - 1.0)
     pos = n2 if tau_eval is None else tau_eval
     tau_end = jnp.mean(tau_u) + slope * (pos - c0) / scale
+    if pw_ok:
+        tau_end_pw = tau_u[-1] + d[-1] * (pos - centers[-1]) / win
+        tau_end = jnp.where(use_pw, tau_end_pw, tau_end)
     return resample_windowed(y2, t), tau_u, tau_end
 
 

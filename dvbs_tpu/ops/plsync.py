@@ -87,11 +87,21 @@ def correlate(z: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def locate_frames(score: jax.Array, frame_len: int, n_frames: int,
-                  search: int = 4, margin: int = 0):
+                  search: int = 4, margin: int = 0,
+                  fallback_threshold: float = 0.6):
     """Pick frame starts: global argmax in the window
     [margin, margin + frame_len), then per-frame local refinement within
     +-search symbols.  margin keeps the first frame clear of block-edge
     filter/timing-warm-up transients.
+
+    Per-frame relocation fallback: any frame whose refined quality sits
+    below `fallback_threshold` re-locates from a full frame-length
+    window centered on its expected start, instead of trusting the
+    periodic extrapolation — the batched analogue of the reference's
+    per-frame re-correlate + two-phase realign
+    (dvbs2_pl_sync.cpp:102-161): one noise peak in the first window, a
+    timing jump, or a non-uniform gap then costs the affected frames
+    only, not the whole block.
 
     Returns (starts [n_frames] int32, quality [n_frames] float32).
     """
@@ -106,6 +116,18 @@ def locate_frames(score: jax.Array, frame_len: int, n_frames: int,
     best = jnp.argmax(vals, axis=1)
     starts = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
     quality = jnp.take_along_axis(vals, best[:, None], axis=1)[:, 0]
+
+    if fallback_threshold is not None:
+        lo = jnp.clip(base - frame_len // 2, 0,
+                      score.shape[0] - frame_len)
+        win = jax.vmap(lambda l: jax.lax.dynamic_slice(
+            score, (l,), (frame_len,)))(lo)    # [F, frame_len]
+        ridx = jnp.argmax(win, axis=1).astype(jnp.int32)
+        rstart = lo + ridx
+        rq = jnp.take_along_axis(win, ridx[:, None], axis=1)[:, 0]
+        use = (quality < fallback_threshold) & (rq > quality)
+        starts = jnp.where(use, rstart, starts)
+        quality = jnp.where(use, rq, quality)
     return starts, quality
 
 
