@@ -295,6 +295,8 @@ def main():
         for c, o in zip(st_e2e.feed([s[fed:e] for s in sigs]), outs):
             o.extend(c)
         fed = e
+    for c, o in zip(st_e2e.flush(), outs):
+        o.extend(c)
     dt = time.time() - t0
     e2e_msps = N_CARRIERS * fed / dt / 1e6
     ingest_mb_per_s = N_CARRIERS * fed / dt / 1e6   # cs4: 1 B/sample
@@ -302,7 +304,8 @@ def main():
         f"e2e frames lost: {st_e2e.frames_ok} of {st_e2e.frames_seen}"
     for c in range(N_CARRIERS):
         npk = contiguous_packets(bytes(outs[c]), sents[c], f"e2e c{c}")
-        assert npk >= (E2E_BLOCKS + 1) * F * (kb // 188) - 2
+        want = (E2E_BLOCKS + 1) * F * (kb // 188) - 2
+        assert npk >= want, f"e2e c{c}: {npk} pkts < {want}" 
 
     # ---- GSE -> GRE gate through the SAME compiled program
     gse_sigs, gse_pdus = [], []
@@ -318,6 +321,8 @@ def main():
                              block_symbols=BLOCK, fec="pallas",
                              ingest="cs4", program=st.program)
     gouts = st_gse.feed(gse_sigs)
+    for c, extra in enumerate(st_gse.flush()):
+        gouts[c] = gouts[c] + extra
     gse_found = 0
     for c in range(N_CARRIERS):
         blob = bytes(gouts[c])

@@ -63,6 +63,7 @@ class BBFrameParser:
         self.last_bb_cnt = 0
         self.last_bb_proc = 0
         self.last_gse_crc_err = False
+        self.sync_errors = 0          # SYNCD-vs-count mismatches seen
 
     def get_state(self) -> dict:
         """Opaque mutable-state snapshot (checkpoint/resume); same API
@@ -74,7 +75,8 @@ class BBFrameParser:
                     gse_proto=list(self.gse_proto),
                     gse_buf=[bytes(b) for b in self.gse_buf],
                     gse_crc=list(self.gse_crc),
-                    last_header=self.last_header)
+                    last_header=self.last_header,
+                    sync_errors=self.sync_errors)
 
     def set_state(self, st: dict):
         self.synched = st["synched"]
@@ -86,6 +88,7 @@ class BBFrameParser:
         self.gse_buf = [bytearray(b) for b in st["gse_buf"]]
         self.gse_crc = list(st["gse_crc"])
         self.last_header = st["last_header"]
+        self.sync_errors = int(st.get("sync_errors", 0))
 
     def mark_gap(self):
         """Signal that one or more BBFRAMEs were lost upstream (LDPC/BCH
@@ -128,6 +131,18 @@ class BBFrameParser:
             # the data field (the +1 skips the CRC-8 byte that replaces the
             # TS sync byte; the reference applies it to GSE frames too).
             pos = 0
+            # SYNCD consistency: while synched in TS mode, the frame's
+            # SYNCD must agree with the reassembly count
+            # (syncd/8 == (187 - count) mod 188). A mismatch means the
+            # byte stream jumped upstream of us (splice, source restart)
+            # even though every frame decoded — free-running on would
+            # shift EVERY following packet. The reference free-runs
+            # (bbframe_ts_parser.cpp:193 disables its check); we resync
+            # and count it, losing at most this frame's packets.
+            if self.synched and hdr.ts_gs == bbheader.TS_GS_TRANSPORT and \
+                    hdr.syncd // 8 != (187 - self.count) % 188:
+                self.synched = False
+                self.sync_errors += 1
             if not self.synched:
                 pos = hdr.syncd // 8 + 1
                 if pos > len(df):

@@ -79,6 +79,8 @@ def available() -> bool:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.tsparser_mark_gap.argtypes = [ctypes.c_void_p]
+        lib.tsparser_sync_errors.restype = ctypes.c_long
+        lib.tsparser_sync_errors.argtypes = [ctypes.c_void_p]
         lib.tsparser_last_header.restype = ctypes.c_int
         lib.tsparser_last_header.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
@@ -255,6 +257,11 @@ class NativeTSParser:
     @property
     def last_bb_proc(self):
         return int(_lib.tsparser_bb_proc(self._h))
+
+    @property
+    def sync_errors(self):
+        """SYNCD-vs-reassembly-count mismatches (upstream splices)."""
+        return int(_lib.tsparser_sync_errors(self._h))
 
     @property
     def last_header(self):

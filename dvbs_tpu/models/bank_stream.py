@@ -71,6 +71,7 @@ class DVBS2BankStream:
         self._fifos = [np.zeros(0, np.complex64) for _ in range(n_carriers)]
         self._next_adv = np.full(n_carriers,
                                  2 * self.F * L, np.int64)
+        self._expected_start = np.full(n_carriers, -1, np.int64)
         self._pending = None
         # rolling metrics (per carrier)
         self.frames_seen = np.zeros(n_carriers, np.int64)
@@ -149,10 +150,13 @@ class DVBS2BankStream:
                                   self.GUARD, L)
                     self._fifos[c] = self._fifos[c][adv:]
                     self._next_adv[c] = 2 * F_L
+                    self._expected_start[c] = int(last_end[c]) - adv // 2
                 self._pending = None
             else:
                 for c in range(self.C):
-                    self._fifos[c] = self._fifos[c][self._next_adv[c]:]
+                    adv = int(self._next_adv[c])
+                    self._fifos[c] = self._fifos[c][adv:]
+                    self._expected_start[c] = int(last_end[c]) - adv // 2
                     # damped one-block-late advance feedback (gain 1/2,
                     # models/driver.py:136-145)
                     d0 = int(last_end[c]) - F_L
@@ -161,6 +165,23 @@ class DVBS2BankStream:
                         -self.edge_margin // 2, self.edge_margin // 2))
                     self._next_adv[c] = 2 * (F_L + err)
                 self._pending = ahead
+        return [bytes(o) for o in outs]
+
+    def flush(self) -> list[bytes]:
+        """Finalize any in-flight dispatched block without waiting for
+        more samples (end of capture / before checkpointing)."""
+        outs = [bytearray() for _ in range(self.C)]
+        if self._pending is not None:
+            res = self._finalize(self._pending, outs)
+            last_end = res["last_end"]
+            L = self.cfg.plframe_len
+            for c in range(self.C):
+                adv = 2 * max(int(last_end[c]) - self.edge_margin -
+                              self.GUARD, L)
+                self._fifos[c] = self._fifos[c][adv:]
+                self._next_adv[c] = 2 * self.F * L
+                self._expected_start[c] = int(last_end[c]) - adv // 2
+            self._pending = None
         return [bytes(o) for o in outs]
 
     # ------------------------------------------------------------------
@@ -201,15 +222,28 @@ class DVBS2BankStream:
             hd = hard2_dev if retried[lane] else hard_dev
             bits = np.asarray(jax.device_get(hd[lane, :cfg.nbch]))
             fixed, ncorr = bch_spec.decode(bits, cfg.framesize, cfg.rate)
-            if ncorr < 0 and not ldpc_ok[lane]:
-                continue
+            if ncorr < 0:
+                continue    # BCH-inconsistent = corrupt (see dvbs2.py)
             frame_ok[lane] = True
-            if ncorr >= 0:
-                kbch_bytes[lane] = scrambling.bb_scramble_bytes(
-                    np.packbits(fixed[:cfg.kbch]))
-        # per-carrier parse with gap marking
+            kbch_bytes[lane] = scrambling.bb_scramble_bytes(
+                np.packbits(fixed[:cfg.kbch]))
+        # per-carrier parse with gap marking (frame failures AND frame-
+        # grid jumps — a relocated non-L-periodic frame decodes fine but
+        # is not byte-contiguous with its predecessor, models/driver.py)
         fo = frame_ok.reshape(C, F)
         kb = kbch_bytes.reshape(C, F, -1)
+        starts = small["starts"]                     # [C, F]
+        L = cfg.plframe_len
+        TOL = 12
+
+        def disc(c, i):
+            if i == 0:
+                if self._expected_start[c] < 0:
+                    return False
+                dd = (int(starts[c, 0]) - int(self._expected_start[c])) % L
+                return min(dd, L - dd) > TOL
+            return abs(int(starts[c, i]) - int(starts[c, i - 1]) - L) > TOL
+
         for c in range(C):
             i = 0
             while i < F:
@@ -217,8 +251,10 @@ class DVBS2BankStream:
                     self.parsers[c].mark_gap()
                     i += 1
                     continue
-                j = i
-                while j < F and fo[c, j]:
+                if disc(c, i):
+                    self.parsers[c].mark_gap()
+                j = i + 1
+                while j < F and fo[c, j] and not disc(c, j):
                     j += 1
                 outs[c].extend(self.parsers[c].feed(
                     np.ascontiguousarray(kb[c, i:j])))
@@ -240,6 +276,7 @@ class DVBS2BankStream:
         return dict(pls_code=self.cfg.pls_code,
                     fifos=[f.copy() for f in self._fifos],
                     next_adv=self._next_adv.copy(),
+                    expected_start=self._expected_start.copy(),
                     parser_state=[p.get_state() for p in self.parsers],
                     frames_seen=self.frames_seen.copy(),
                     frames_ok=self.frames_ok.copy())
@@ -249,6 +286,8 @@ class DVBS2BankStream:
             "bank checkpoint MODCOD mismatch (rebuild the bank)"
         self._fifos = [np.asarray(f).copy() for f in st["fifos"]]
         self._next_adv = np.asarray(st["next_adv"], np.int64).copy()
+        self._expected_start = np.asarray(
+            st.get("expected_start", np.full(self.C, -1)), np.int64).copy()
         for p, ps in zip(self.parsers, st["parser_state"]):
             p.set_state(ps)
         self.frames_seen = np.asarray(st["frames_seen"]).copy()

@@ -81,6 +81,7 @@ class DVBS2Stream:
         self.parser = make_bbframe_parser(self.cfg.kbch)
         self._pending = None         # (rx, device outputs) of dispatched block
         self._next_adv = 2 * self.rx.n_frames * self.cfg.plframe_len
+        self._expected_start = None  # next block's frame-grid phase (symbols)
 
     def feed(self, samples: np.ndarray) -> bytes:
         """Feed 2-sps samples; returns TS/GRE bytes produced.
@@ -132,9 +133,12 @@ class DVBS2Stream:
                 self._pending = None
                 self._next_adv = 2 * self.rx.n_frames * \
                     self.rx.cfg.plframe_len
+                self._expected_start = None if switched \
+                    else last_end - adv_actual // 2
             else:
                 self._fifo = self._fifo[adv:]
                 self._pending = ahead
+                self._expected_start = last_end - adv // 2
                 # boundary drift of the retired block -> advance trim.
                 # Gain 1/2 damps the one-block-delayed feedback loop
                 # (d[i+1] = d[i] - g*d[i-1] + c has |roots| < 1 only for
@@ -158,24 +162,52 @@ class DVBS2Stream:
                         pilots if pilots is not None else self.cfg.pilots)
         self._vote.clear()
 
+    FRAME_TOL = 12      # symbols of start jitter before a gap is marked
+
+    def _frame_discontinuous(self, starts, i: int) -> bool:
+        """True when frame i's located start is NOT L-periodic with its
+        predecessor (intra-block) or with the previous block's frame
+        grid (i == 0). The per-frame relocation fallback
+        (plsync.locate_frames) can lock onto a SHIFTED grid after a
+        timing jump — the frames decode, but the byte stream handed to
+        the parser is no longer contiguous, and an unmarked skip
+        silently shifts every later TS packet. Detect it and mark a gap
+        so the parser realigns at the next SYNCD."""
+        L = self.cfg.plframe_len
+        if starts is None:
+            return False
+        if i == 0:
+            if self._expected_start is None:
+                return False
+            d = (int(starts[0]) - self._expected_start) % L
+            return min(d, L - d) > self.FRAME_TOL
+        d = int(starts[i]) - int(starts[i - 1])
+        return abs(d - L) > self.FRAME_TOL
+
     def _parse_frames(self, res) -> bytes:
         """Feed the block's good BBFRAMEs to the TS/GSE parser, marking
-        an explicit gap wherever a frame failed (see
-        BBFrameParser.mark_gap) so packet reassembly realigns at the
-        next SYNCD instead of silently concatenating across the hole.
-        Consecutive good frames are fed as one batch (in the common
-        all-good block that is a single native parser call)."""
+        an explicit gap wherever a frame failed or the frame grid
+        jumped (see BBFrameParser.mark_gap) so packet reassembly
+        realigns at the next SYNCD instead of silently concatenating
+        across the hole. Consecutive good continuous frames are fed as
+        one batch (in the common all-good block that is a single native
+        parser call)."""
         out = bytearray()
         ok = np.asarray(res.frame_ok)
+        starts = res.starts
         fi = 0
         i = 0
         while i < len(ok):
             if not ok[i]:
                 self.parser.mark_gap()
+                fi += 0
                 i += 1
                 continue
-            j = i
-            while j < len(ok) and ok[j]:
+            if self._frame_discontinuous(starts, i):
+                self.parser.mark_gap()
+            j = i + 1
+            while j < len(ok) and ok[j] and \
+                    not self._frame_discontinuous(starts, j):
                 j += 1
             run = j - i
             out.extend(self.parser.feed(res.bbframes[fi:fi + run]))
@@ -214,7 +246,8 @@ class DVBS2Stream:
         return dict(pls_code=self.cfg.pls_code,
                     vote=list(self._vote),
                     fifo=self._fifo.copy(),
-                    parser_state=self.parser.get_state())
+                    parser_state=self.parser.get_state(),
+                    expected_start=self._expected_start)
 
     def set_state(self, st: dict):
         cfg = modcod.from_pls_code(st["pls_code"])
@@ -222,6 +255,7 @@ class DVBS2Stream:
         self._vote = collections.deque(st["vote"], maxlen=50)
         self._fifo = st["fifo"].copy()
         self.parser.set_state(st["parser_state"])
+        self._expected_start = st.get("expected_start")
 
     def _maybe_switch_modcod(self, res) -> bool:
         """50-frame consistency vote (main.cpp:383-408). Returns True if

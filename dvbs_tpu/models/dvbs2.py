@@ -44,6 +44,8 @@ class BlockResult:
     constellation: np.ndarray | None = None  # [2048] complex64 scatter
                                   # (first 90 points = PLHEADER)
     detected_pls_conf: np.ndarray | None = None  # [F] float32 confidence
+    starts: np.ndarray | None = None  # [F] int32 located frame starts
+                                  # (symbol index; parser gap detection)
 
 
 class DVBS2Receiver:
@@ -281,14 +283,17 @@ class DVBS2Receiver:
             bits = np.asarray(jax.device_get(hd[f, :cfg.nbch]))
             fixed, ncorr = bch_spec.decode(bits, cfg.framesize, cfg.rate)
             bch_corr[f] = ncorr
-            if ncorr < 0 and not ldpc_ok[f]:
+            if ncorr < 0:
+                # BCH-inconsistent even after repair: the frame is
+                # corrupt with near-certainty (LDPC can converge to a
+                # VALID-but-WRONG codeword on garbage input), and one
+                # emitted garbage BBHeader desyncs the TS parser's byte
+                # continuity for a long stretch — reject, the parser
+                # gets a mark_gap instead
                 continue
             frame_ok[f] = True
-            if ncorr >= 0:
-                plain[f] = scrambling.bb_scramble_bytes(
-                    np.packbits(fixed[:cfg.kbch]))
-            # ncorr < 0 but LDPC converged: trust the LDPC output
-            # already in plain[f]
+            plain[f] = scrambling.bb_scramble_bytes(
+                np.packbits(fixed[:cfg.kbch]))
         return BlockResult(
             bbframes=plain[frame_ok],
             frame_ok=frame_ok,
@@ -304,6 +309,7 @@ class DVBS2Receiver:
             constellation=(out["scatter"][0] +
                            1j * out["scatter"][1]).astype(np.complex64),
             detected_pls_conf=np.asarray(out["pls_conf"]),
+            starts=np.asarray(out["starts"]),
         )
 
     def process_symbols_block(self, samples: np.ndarray) -> BlockResult:

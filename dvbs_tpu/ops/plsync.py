@@ -125,7 +125,15 @@ def locate_frames(score: jax.Array, frame_len: int, n_frames: int,
         ridx = jnp.argmax(win, axis=1).astype(jnp.int32)
         rstart = lo + ridx
         rq = jnp.take_along_axis(win, ridx[:, None], axis=1)[:, 0]
-        use = (quality < fallback_threshold) & (rq > quality)
+        # only frames whose window sits FULLY inside their own
+        # L-periodic territory may relocate: near the block edges the
+        # clip shifts the window onto a neighbour's SOF and the frame
+        # would decode as a duplicate — which corrupts the TS parser's
+        # byte continuity (duplicate SYNCD mid-stream)
+        territory_ok = (base - frame_len // 2 >= 0) & \
+            (base + frame_len // 2 <= score.shape[0] - frame_len)
+        use = (quality < fallback_threshold) & (rq > quality) & \
+            territory_ok
         starts = jnp.where(use, rstart, starts)
         quality = jnp.where(use, rq, quality)
     return starts, quality

@@ -203,6 +203,7 @@ struct TSParser {
     long bb_cnt = 0;
     GSESlot gse[3];
     bool gse_crc_err = false;
+    long sync_errors = 0;   // SYNCD-vs-count mismatches (upstream splices)
     uint8_t last_hdr[10] = {0};   // latest validated BBHEADER (metrics)
     bool has_hdr = false;
 };
@@ -346,6 +347,7 @@ void* tsparser_create(int kbch_bits) {
 
 void tsparser_destroy(void* h) { delete static_cast<TSParser*>(h); }
 long tsparser_bb_proc(void* h) { return static_cast<TSParser*>(h)->bb_proc; }
+long tsparser_sync_errors(void* h) { return static_cast<TSParser*>(h)->sync_errors; }
 
 // upstream frame loss (LDPC/BCH failure): drop partial reassembly and
 // realign at the next frame's SYNCD (python BBFrameParser.mark_gap)
@@ -405,6 +407,15 @@ long tsparser_feed(void* h, const uint8_t* frames, int n, uint8_t* out,
         p->bb_proc++;
         const uint8_t* df = bbf + 10;
         long pos = 0, df_len = dfl / 8;
+        // SYNCD consistency (see dvbs_tpu/io/bbframe_parser.py): while
+        // synched, syncd/8 must equal (187 - count) mod 188 or the byte
+        // stream jumped upstream — resync instead of free-running
+        // (which would shift every later packet; the reference
+        // free-runs, bbframe_ts_parser.cpp:193)
+        if (p->synched && (long)(syncd / 8) != (187 - (long)p->count % 188 + 188) % 188) {
+            p->synched = false;
+            p->sync_errors++;
+        }
         if (!p->synched) {
             long skip = syncd / 8 + 1;
             if (skip > df_len) continue;
@@ -472,7 +483,7 @@ static uint32_t get32(const uint8_t* p) {
 
 long tsparser_state_size(void* h) {
     auto* p = static_cast<TSParser*>(h);
-    long n = 3 + 4 + 188 + 10;
+    long n = 3 + 4 + 188 + 10 + 4;   // +4: sync_errors (appended, le32)
     for (int i = 0; i < 3; i++) n += 1 + 1 + 2 + 4 + 4 + (long)p->gse[i].buf.size();
     return n;
 }
@@ -493,6 +504,7 @@ void tsparser_get_state(void* h, uint8_t* out) {
         put32(v, (uint32_t)sl.buf.size());
         v.insert(v.end(), sl.buf.begin(), sl.buf.end());
     }
+    put32(v, (uint32_t)p->sync_errors);   // appended (readers tolerate absence)
     memcpy(out, v.data(), v.size());
 }
 
@@ -514,6 +526,7 @@ int tsparser_set_state(void* h, const uint8_t* in, long n) {
         if (q + (long)len > n) return -1;
         sl.buf.assign(in + q, in + q + len); q += len;
     }
+    p->sync_errors = (q + 4 <= n) ? (long)get32(in + q) : 0;
     return 0;
 }
 

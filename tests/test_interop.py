@@ -457,10 +457,28 @@ def test_e2e_capture_to_identical_ts():
         if res.frame_ok.any():
             all_frames.append(res.bbframes)
     assert all_frames, "no frames decoded"
-    frames = np.concatenate(all_frames)
-    ref = R.BBFrameTSParser(cfg.kbch)
-    ours = BBFrameParser(cfg.kbch)
-    ref_out = ref.work(frames)
-    our_out = ours.feed(frames)
-    assert len(ref_out) > 1880
-    assert ref_out == our_out
+    # parity on each CONTIGUOUS decoded run: the fixed non-overlapping
+    # block windows skip frames between blocks, and on such a splice the
+    # two parsers intentionally diverge (checked below)
+    total = 0
+    for run in all_frames:
+        ref = R.BBFrameTSParser(cfg.kbch)
+        ours = BBFrameParser(cfg.kbch)
+        ref_out = ref.work(run)
+        our_out = ours.feed(run)
+        assert ref_out == our_out
+        total += len(ref_out)
+    assert total > 1880
+    if len(all_frames) > 1:
+        # documented divergence on a SPLICED sequence: the reference
+        # free-runs across the jump (bbframe_ts_parser.cpp:193 disables
+        # its own check — every packet after the splice is byte-shifted)
+        # while our SYNCD-consistency check resyncs, so OUR packets all
+        # remain genuine TX packets
+        frames = np.concatenate(all_frames)
+        ours = BBFrameParser(cfg.kbch)
+        our_out = ours.feed(frames)
+        assert ours.sync_errors >= 1
+        got = np.frombuffer(our_out, np.uint8).reshape(-1, 188)
+        sent = {r.tobytes() for r in pkts.reshape(-1, 188)}
+        assert all(r.tobytes() in sent for r in got)
