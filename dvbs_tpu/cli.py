@@ -47,6 +47,11 @@ def main(argv=None):
                          "carrier (main.cpp:30); here the channelizer "
                          "bank feeds N streams in one process")
     ap.add_argument("--mode", default="s2", choices=["s", "s2"])
+    ap.add_argument("--rate", default=None,
+                    choices=["1/2", "2/3", "3/4", "5/6", "7/8"],
+                    help="DVB-S code rate (default: auto-detect per "
+                         "carrier; REQUIRED for the fused multi-carrier "
+                         "DVB-S bank, which shares one rate)")
     ap.add_argument("--modcod", type=int, default=None,
                     help="DVB-S2 MODCOD number 1-28")
     ap.add_argument("--framesize", default=None,
@@ -110,7 +115,8 @@ def main(argv=None):
     def make_stream():
         if args.mode == "s":
             from .models.dvbs import DVBSStream
-            return DVBSStream(block_symbols=args.block_symbols)
+            return DVBSStream(rate=args.rate,
+                              block_symbols=args.block_symbols)
         return DVBS2Stream(mc=mc, short=short, pilots=pilots,
                            block_symbols=args.block_symbols,
                            auto_modcod=args.auto_modcod,
@@ -136,6 +142,13 @@ def main(argv=None):
         bank = DVBS2BankStream(C, mc=mc, short=short, pilots=pilots,
                                block_symbols=bank_bs, fec=args.fec,
                                max_ldpc_trials=args.ldpc_trials)
+        streams = [bank]
+    elif args.mode == "s" and C > 1 and args.rate:
+        # fused DVB-S bank (shared code rate); without --rate each
+        # carrier gets its own auto-locking stream instead
+        from .parallel.dvbs_bank import DVBSBankStream
+        bank = DVBSBankStream(C, rate=args.rate,
+                              block_samples=2 * args.block_symbols)
         streams = [bank]
     else:
         streams = [make_stream() for _ in range(C)]
@@ -327,13 +340,21 @@ def main(argv=None):
             for ci, d in enumerate(datas):
                 total_out += len(d)
                 emits[ci](d)
-            print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
-                  f"bank ok=" +
-                  "/".join(f"{int(o)}:{int(s)}" for o, s in
-                           zip(bank.frames_ok, bank.frames_seen)) +
-                  f" sync={bank.sync_quality.mean():.2f} "
-                  f"trials={int(bank.ldpc_trials.max(initial=0))}",
-                  file=sys.stderr)
+            if args.mode == "s2":
+                print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
+                      f"bank ok=" +
+                      "/".join(f"{int(o)}:{int(s)}" for o, s in
+                               zip(bank.frames_ok, bank.frames_seen)) +
+                      f" sync={bank.sync_quality.mean():.2f} "
+                      f"trials={int(bank.ldpc_trials.max(initial=0))}",
+                      file=sys.stderr)
+            else:
+                print(f"[{consumed:>10}/{total_samples}] out={total_out}B "
+                      f"dvbs bank lock=" +
+                      "".join(str(int(x)) for x in bank.locked) +
+                      " ber=" +
+                      "/".join(f"{b:.3f}" for b in bank.ber),
+                      file=sys.stderr)
             continue
         data = stream.feed(per[0])
         total_out += len(data)
@@ -360,6 +381,10 @@ def main(argv=None):
                   f"ldpc_trials={m.ldpc_trials} bch_q={m.bch_quality:.1f} "
                   f"modcod={m.detected_modcod} "
                   f"ok={m.frames_ok}/{m.frames_seen}", file=sys.stderr)
+    if bank is not None and hasattr(bank, "flush"):
+        for ci, d in enumerate(bank.flush()):
+            total_out += len(d)
+            emits[ci](d)
     sinks[0] = out_sink       # control may have swapped carrier 0's sink
     for snk in sinks:
         if snk:

@@ -47,3 +47,42 @@ def test_two_carrier_wideband_decode(tmp_path):
         assert d1[lo:lo + 188] in sent_b
     # carriers are independent: outputs differ
     assert d0[:188] != d1[:188]
+
+
+def test_two_carrier_dvbs_bank(tmp_path):
+    """mode=s with --carrier and --rate routes through the fused
+    DVBSBankStream (one device program for both carriers)."""
+    from dvbs_tpu.tx import dvbs_mod
+    from dvbs_tpu.tx import channel as ch
+
+    def carrier(seed):
+        ts = dvbs_mod.random_ts_groups(30, seed=seed)
+        x = ch.shape(dvbs_mod.DVBSModulator(rate="1/2").ts_to_symbols(ts),
+                     sps=10)[::2]               # 5 samples/symbol wideband
+        return x, ts.tobytes()
+
+    a, sent_a = carrier(51)
+    b, sent_b = carrier(52)
+    n = min(len(a), len(b))
+    t = np.arange(n)
+    wide = (a[:n] * np.exp(2j * np.pi * (-1.1 / 5.0) * t) +
+            b[:n] * np.exp(2j * np.pi * (+1.4 / 5.0) * t)
+            ).astype(np.complex64)
+    wide = channel.impair(wide, snr_db=20.0, seed=53)
+    path = tmp_path / "wide_s.cf32"
+    wide.tofile(path)
+    out = tmp_path / "out_s.ts"
+    rc = cli.main(["--iq", str(path), "--mode", "s", "--rate", "1/2",
+                   "--samplerate", "5.0", "--symbolrate", "1.0",
+                   "--offset", "-1.1", "--carrier", "1.4:1.0",
+                   "--block-symbols", str(1 << 15),
+                   "--out", str(out)])
+    assert rc == 0
+    d0 = out.read_bytes()
+    d1 = (tmp_path / "out_s.ts.c1").read_bytes()
+    assert len(d0) >= 188 * 20 and len(d1) >= 188 * 20
+    for lo in range(0, len(d0) - 187, 188):
+        assert d0[lo:lo + 188] in sent_a
+    for lo in range(0, len(d1) - 187, 188):
+        assert d1[lo:lo + 188] in sent_b
+    assert d0[:188] != d1[:188]
