@@ -170,12 +170,23 @@ def _vv_group_phases(payload: jax.Array, theta0: jax.Array, group: int):
     return phases, centers                         # [F, G], [G]
 
 
-def _interp_phases(phases: jax.Array, centers: jax.Array, P: int) -> jax.Array:
-    pos = jnp.arange(P, dtype=jnp.float32)
-    def interp_one(ph):
-        return jnp.interp(pos, centers.astype(jnp.float32), ph,
-                          left=ph[0], right=ph[-1])
-    return jax.vmap(interp_one)(phases)
+def _interp_phases(phases: jax.Array, group: int, P: int) -> jax.Array:
+    """Piecewise-linear interpolation of per-group phases [F, G] (group
+    centers at (i+0.5)*group) onto the symbol grid [F, P], edge-clamped.
+
+    Built by reshape/broadcast only — the jnp.interp this replaces is a
+    binary-search gather per symbol, which serializes on TPU
+    (PROFILE_r4.md lesson bank)."""
+    F, G = phases.shape
+    h = group // 2
+    d = phases[:, 1:] - phases[:, :-1]                      # [F, G-1]
+    frac = jnp.arange(group, dtype=jnp.float32) / group
+    body = (phases[:, :-1, None] +
+            d[:, :, None] * frac[None, None, :]).reshape(F, -1)
+    head = jnp.broadcast_to(phases[:, :1], (F, h))
+    tail_len = P - h - (G - 1) * group
+    tail = jnp.broadcast_to(phases[:, -1:], (F, tail_len))
+    return jnp.concatenate([head, body, tail], axis=1)
 
 
 def qpsk_vv_phases(payload: jax.Array, theta0: jax.Array,
@@ -186,8 +197,8 @@ def qpsk_vv_phases(payload: jax.Array, theta0: jax.Array,
     [F, P] by unwrapping group estimates from the header anchor and
     linearly interpolating between group centers.
     """
-    phases, centers = _vv_group_phases(payload, theta0, group)
-    return _interp_phases(phases, centers, payload.shape[1])
+    phases, _ = _vv_group_phases(payload, theta0, group)
+    return _interp_phases(phases, group, payload.shape[1])
 
 
 def qpsk_vv_track(payload: jax.Array, theta0: jax.Array) -> jax.Array:
@@ -210,8 +221,8 @@ def qpsk_vv_track(payload: jax.Array, theta0: jax.Array) -> jax.Array:
     ramp = mean1[:, None] + slope[:, None] * (
         jnp.arange(P, dtype=jnp.float32)[None, :] - jnp.mean(c1))
     flat = payload * jnp.exp(-1j * ramp).astype(payload.dtype)
-    ph2, c2 = _vv_group_phases(flat, jnp.zeros(F, jnp.float32), 720)
-    return ramp + _interp_phases(ph2, c2, P)
+    ph2, _ = _vv_group_phases(flat, jnp.zeros(F, jnp.float32), 720)
+    return ramp + _interp_phases(ph2, 720, P)
 
 
 def _dd_track_once(payload: jax.Array, theta0: jax.Array, pts: jax.Array,
@@ -240,7 +251,7 @@ def _dd_track_once(payload: jax.Array, theta0: jax.Array, pts: jax.Array,
     z_t = jnp.swapaxes(z, 0, 1)                         # [G, F, group]
     carry0 = theta0 + 0.0 * z[:, 0, 0].real
     _, phases = jax.lax.scan(step, carry0, z_t)
-    return _interp_phases(jnp.swapaxes(phases, 0, 1), centers, P)
+    return _interp_phases(jnp.swapaxes(phases, 0, 1), group, P)
 
 
 def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
