@@ -284,7 +284,10 @@ def main():
     st_e2e = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
                              block_symbols=BLOCK, fec="pallas",
                              ingest="cs4", program=st.program)
-    need = n + E2E_BLOCKS * 2 * (F * cfg.plframe_len)
+    # slack: the damped advance re-centers the frame grid toward the
+    # block margin, consuming up to ~a frame-length of extra samples
+    # over the run — without it the last block starves by a hair
+    need = n + E2E_BLOCKS * 2 * (F * cfg.plframe_len) + 2 * cfg.plframe_len
     assert slen >= need, (slen, need)
     chunk = n // 2
     outs = [bytearray() for _ in range(N_CARRIERS)]
