@@ -63,9 +63,14 @@ class DVBS2Receiver:
         count); "pallas" routes EVERY decode through the int8 B=128
         kernel (ops/ldpc_pallas) — the one-decoder-for-all-paths
         layout of the reference (bbframe_ldpc.cpp:123-139). Short
-        blocks are lane-padded by cyclic repetition (repeated frames
-        converge like their originals, so the early-exit gate still
-        works); blocks beyond 128 frames decode in 128-lane tiles."""
+        blocks are lane-padded by cyclic repetition; the padding is
+        FREE, not redundant work: int8 lanes are 128 wide regardless,
+        the copies converge at their originals' sweep (trials parity
+        asserted in tests/test_ldpc_pallas.py), and on chip a 2-frame
+        padded decode measured FASTER than 128 distinct frames and 8x
+        cheaper per frame than the xla path (PROFILE_r4.md
+        "Variable-batch"). Blocks beyond 128 frames decode in 128-lane
+        tiles."""
         if fec not in ("xla", "pallas"):
             raise ValueError(f"unknown fec {fec!r}")
         self.cfg = modcod.get_config(mc, short=short, pilots=pilots)

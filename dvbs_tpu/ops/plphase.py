@@ -294,30 +294,56 @@ def pilot_anchor_phases(frames: jax.Array, cfg: modcod.ModcodConfig,
                         theta0: jax.Array) -> jax.Array:
     """Piecewise-linear phase over the frame from header + pilot anchors.
 
+    Pilot blocks sit on a uniform grid (first + k*1476, EN 302 307-1
+    sec. 5.5.3), so the whole computation is batched: one reshape
+    extracts every pilot block, the anchor-to-anchor unwrap is a
+    round+cumsum prefix sum, and the interpolation is a structured
+    reshape/broadcast build (no jnp.interp gather, no sequential
+    per-pilot python loop — the 8PSK+pilots bank block was paying ~2x
+    the QPSK block time partly here).
+
     Returns per-symbol phase for the full frame [F, plframe_len].
     """
     F, L = frames.shape
     ph = jnp.asarray(_payload_descramble_phasors(L - 90))
     pstarts = pilot_starts(cfg)
     pilot = (1 + 1j) / np.sqrt(2)
-    anchors_pos = [jnp.float32(45.0)]
-    anchors_val = [theta0]
-    prev = theta0
-    for p in pstarts:
-        blk = frames[:, p:p + 36] * ph[p - 90:p - 90 + 36] * np.conj(pilot)
-        raw = jnp.angle(jnp.sum(blk, axis=1))
-        # unwrap relative to previous anchor
-        k = jnp.round((prev - raw) / (2 * jnp.pi))
-        val = raw + k * 2 * jnp.pi
-        anchors_pos.append(jnp.float32(p + 18.0))
-        anchors_val.append(val)
-        prev = val
-    pos = jnp.stack([jnp.broadcast_to(p, (F,)) for p in anchors_pos], axis=1)
-    val = jnp.stack(anchors_val, axis=1)           # [F, A]
-    t = jnp.arange(L, dtype=jnp.float32)
-    def interp_one(p, v):
-        return jnp.interp(t, p, v, left=v[0], right=v[-1])
-    return jax.vmap(interp_one)(pos, val)
+    n_p = len(pstarts)
+    p0 = int(pstarts[0])
+    step = int(pstarts[1] - pstarts[0]) if n_p > 1 else 1476
+    assert n_p == 1 or (np.diff(pstarts) == step).all(), "non-uniform pilots"
+    # all pilot blocks in one reshape (+ the matching descramble consts)
+    span = (n_p - 1) * step + 36
+    blks = jax.lax.slice(frames, (0, p0), (F, p0 + span))
+    blks = jnp.concatenate(
+        [blks, jnp.zeros((F, n_p * step - span), frames.dtype)], axis=1
+    ).reshape(F, n_p, step)[:, :, :36]
+    dphs = np.stack([np.asarray(_payload_descramble_phasors(L - 90))
+                     [p - 90:p - 90 + 36] for p in pstarts])   # [n_p, 36]
+    blks = blks * jnp.asarray(dphs)[None] * np.conj(pilot)
+    raw = jnp.angle(jnp.sum(blks, axis=2))                      # [F, n_p]
+    # unwrap to the header anchor: prefix sum of wrapped steps
+    two_pi = 2 * jnp.pi
+    d = raw[:, 1:] - raw[:, :-1]
+    d = d - jnp.round(d / two_pi) * two_pi
+    base = raw[:, :1] - jnp.round((raw[:, :1] - theta0[:, None]) / two_pi
+                                  ) * two_pi
+    vals = jnp.concatenate(
+        [theta0[:, None], base + jnp.concatenate(
+            [jnp.zeros_like(base), jnp.cumsum(d, axis=1)], axis=1)], axis=1)
+    # anchors: 45 (header), then p0+18 + k*step. Piecewise-linear with
+    # edge clamp, built per region (reshape/broadcast only).
+    a1 = p0 + 18
+    t_head = jnp.arange(a1, dtype=jnp.float32)
+    w = jnp.clip((t_head - 45.0) / (a1 - 45.0), 0.0, 1.0)
+    head = vals[:, :1] + (vals[:, 1:2] - vals[:, :1]) * w[None, :]
+    dmid = vals[:, 2:] - vals[:, 1:-1]                          # [F, n_p-1]
+    frac = jnp.arange(step, dtype=jnp.float32) / step
+    mid = (vals[:, 1:-1, None] + dmid[:, :, None] * frac[None, None, :]
+           ).reshape(F, -1)
+    tail_len = L - a1 - (n_p - 1) * step
+    tail = jnp.broadcast_to(vals[:, -1:], (F, tail_len))
+    return jnp.concatenate([head, mid, tail], axis=1)
 
 
 def derotate(x: jax.Array, phase: jax.Array) -> jax.Array:

@@ -188,3 +188,26 @@ def test_full_range_messages_hit_error_floor(noisy_case):
     h127 = int_golden(llr[:, :], "C4", n_iters=12, msg_clip=127)
     errs = (h127 != cw).sum()
     assert errs > 0, "full-range messages unexpectedly converged"
+
+
+def test_cyclic_lane_padding_trials_parity(noisy_case):
+    """Cyclic lane padding (small blocks repeated to fill the 128
+    lanes, models/dvbs2.py fec="pallas") must behave exactly like the
+    originals: each padded copy converges at ITS original's sweep count
+    and decodes to the same bits, so the early-exit gate and trial
+    metrics see no phantom work. (On chip the padded decode measured
+    FASTER than 128 distinct frames — lanes are 128 wide regardless;
+    PROFILE_r4.md "Variable-batch".)"""
+    llr, cw = noisy_case
+    F = 2
+    small = llr[:F]
+    padded = np.tile(small, (ldpc_pallas.B // F, 1))
+    h, nb, tr = ldpc_pallas.decode_qc_pallas(
+        jnp.asarray(padded), "C4", n_iters=8, interpret=True)
+    h, nb, tr = np.asarray(h), np.asarray(nb), np.asarray(tr)
+    for lane in range(ldpc_pallas.B):
+        src = lane % F
+        assert np.array_equal(h[lane], h[src]), lane
+        assert tr[lane] == tr[src] and nb[lane] == nb[src]
+    assert np.array_equal(h[:F], cw[:F])
+    assert (nb[:F] == 0).all()
