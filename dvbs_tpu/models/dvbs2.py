@@ -135,7 +135,9 @@ class DVBS2Receiver:
             if cfg.pilots:
                 phase = plphase.pilot_anchor_phases(frames, cfg, theta0)
                 frames_c = plphase.derotate(frames, phase)
-                payload = frames_c[:, payload_idx] * \
+                # payload extraction as static slices (gather-free) —
+                # descr stays a fancy-indexed NUMPY constant (host-side)
+                payload = plphase.extract_payload(frames_c, cfg) * \
                     descr[None, payload_idx - 90]
             else:
                 frames_c = plphase.derotate(frames, theta0[:, None])

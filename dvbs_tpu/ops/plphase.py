@@ -290,6 +290,22 @@ def dd_phase_track(payload: jax.Array, theta0: jax.Array, kind: str,
     return ramp + _dd_track_once(pay2, theta0, pts, group, n_iter)
 
 
+def extract_payload(frames: jax.Array, cfg: modcod.ModcodConfig
+                    ) -> jax.Array:
+    """Pilots-on payload extraction [..., L] -> [..., P] as static
+    slices + concat (the pilot grid is uniform, so the `[:, payload_idx]`
+    fancy-index this replaces — a serializing TPU gather — is just the
+    1440-symbol stretches between pilot blocks). Equality with the
+    index form is asserted in tests/test_spec.py."""
+    ps = pilot_starts(cfg)
+    L = cfg.plframe_len
+    chunks = [frames[..., 90:int(ps[0])]]
+    for k in range(len(ps)):
+        end = int(ps[k + 1]) if k + 1 < len(ps) else L
+        chunks.append(frames[..., int(ps[k]) + 36:end])
+    return jnp.concatenate(chunks, axis=-1)
+
+
 def pilot_anchor_phases(frames: jax.Array, cfg: modcod.ModcodConfig,
                         theta0: jax.Array) -> jax.Array:
     """Piecewise-linear phase over the frame from header + pilot anchors.

@@ -320,3 +320,19 @@ def test_deinterleave_device_equals_perm_gather():
         got = np.asarray(interleaver.deinterleave_device(
             jnp.asarray(stream.reshape(2, n // m, m)), kind, fs, rate))
         assert np.array_equal(got, want), (kind, fs, rate)
+
+
+def test_extract_payload_equals_index_form():
+    import jax.numpy as jnp
+    from dvbs_tpu.ops import plphase
+    from dvbs_tpu.spec import modcod as mc
+    rng = np.random.default_rng(5)
+    for mcn, short in ((14, False), (4, True), (18, False)):
+        cfg = mc.get_config(mcn, short=short, pilots=True)
+        idx = plphase.payload_indices(cfg)
+        fr = (rng.standard_normal((3, cfg.plframe_len)) +
+              1j * rng.standard_normal((3, cfg.plframe_len))
+              ).astype(np.complex64)
+        want = fr[:, idx]
+        got = np.asarray(plphase.extract_payload(jnp.asarray(fr), cfg))
+        assert np.array_equal(got, want), (mcn, short)
