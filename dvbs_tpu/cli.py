@@ -61,10 +61,12 @@ def main(argv=None):
     ap.add_argument("--block-symbols", type=int, default=1 << 17)
     ap.add_argument("--ldpc-trials", type=int, default=32)
     ap.add_argument("--fec", default="xla", choices=["xla", "pallas"],
-                    help="LDPC decoder: xla (any block size) or the "
-                         "int8 B=128 Pallas kernel (lane-padded; use "
-                         "with large --block-symbols for kernel-class "
-                         "throughput on TPU)")
+                    help="LDPC decoder: xla (any block size, the CPU "
+                         "default) or the int8 B=128 Pallas kernel — "
+                         "small blocks are cyclically lane-padded at "
+                         "ZERO extra cost (int8 lanes are 128 wide "
+                         "regardless; 8x cheaper per frame than xla "
+                         "on chip, PROFILE_r4.md)")
     ap.add_argument("--state-file", default=None,
                     help="checkpoint/resume: restore stream state from "
                          "this file at startup (if it exists) and write "
