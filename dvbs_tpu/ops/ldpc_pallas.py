@@ -90,25 +90,43 @@ def kernel_tables(table: str):
 
 
 def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
-            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows):
-    # one pallas_call = ONE layered sweep; grid is the layer index only.
+            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows, lpg):
+    # one pallas_call = ONE layered sweep; the grid walks the layers in
+    # groups of `lpg` (layers per grid step, processed SERIALLY inside
+    # the body — identical schedule semantics, ~lpg x fewer grid/DMA
+    # step overheads; the per-sweep time was grid-latency-bound).
     # Messages are read once and written once per sweep, so the sweep is
     # purely functional (msgs_in -> msgs_out) and sweeps chain as
     # ordinary jit calls — XLA double-buffers the HBM arrays between
     # them. (In-place read-back through input_output_aliases across a
     # sweep-inside-the-grid design is NOT reliable — interpret mode
     # showed aliased inputs never observe the kernel's own writes.)
-    r = pl.program_id(0)
+    step = pl.program_id(0)
 
     # posteriors live in the (revisited, hence VMEM-resident) output
     # block; the incoming state stays in HBM and is DMA'd in once
-    @pl.when(r == 0)
+    @pl.when(step == 0)
     def _():
         def init(sem):
             cp = pltpu.make_async_copy(post_in, post_out, sem)
             cp.start()
             cp.wait()
         pl.run_scoped(init, pltpu.SemaphoreType.DMA(()))
+
+    @pl.when(step == 0)
+    def _():
+        bad_out[:, :] = jnp.zeros((1, bad_out.shape[1]), jnp.int32)
+
+    for j in range(lpg):
+        r = step * lpg + j
+        _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
+                    bad_out, vstash, roll_buf, r=r, j=j, Dmax=Dmax,
+                    beta=beta)
+
+
+def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
+                bad_out, vstash, roll_buf, *, r, j, Dmax, beta):
+    B = post_out.shape[1]
 
     # every elementwise tensor is padded to PAD=384 rows (tile-aligned
     # for int16/i1 — Mosaic relayouts fail on 360-row masks). Rows
@@ -154,7 +172,7 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         base = pl.multiple_of(g * PAD, PAD)
         tile = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
         rolled = roll360(tile, s)
-        v = rolled - msgs_in[0, e].astype(jnp.int32)
+        v = rolled - msgs_in[j, e].astype(jnp.int32)
         vstash[e] = v
         a = jnp.abs(v)
         neg = (v < 0).astype(jnp.int32)
@@ -190,9 +208,6 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
     layer_bad = jnp.sum(jnp.where(rowv, pxor, 0), axis=0,
                         keepdims=True)                       # [1, B]
 
-    @pl.when(r == 0)
-    def _():
-        bad_out[:, :] = 0 * layer_bad
     bad_out[:, :] = bad_out[:, :] + layer_bad
 
     ib = jnp.int32(beta)
@@ -218,7 +233,7 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         news = jnp.where(masked & row0, jnp.int32(0), news)
         invalid = (fl & F_VALID) == 0
         news = jnp.where(invalid, jnp.int32(0), news)
-        old = msgs_in[0, e].astype(jnp.int32)
+        old = msgs_in[j, e].astype(jnp.int32)
         # self-corrected min-sum (the reference's SelfCorrectedUpdate,
         # xdsopl-ldpc-pabr/algorithms.hh): a message whose sign flipped
         # since last sweep is erased — the damping that makes low-
@@ -227,7 +242,7 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         flip = (old != 0) & ((old ^ news) < 0)
         news = jnp.where(flip, jnp.int32(0), news)
         delta = news - old
-        msgs_out[0, e] = news.astype(jnp.int8)
+        msgs_out[j, e] = news.astype(jnp.int8)
         # inverse roll and saturating posterior update (the padding rows
         # of post accumulate don't-care values, clipped like the rest)
         rdelta = roll360(delta, jax.lax.rem(LANES - s, LANES))
@@ -239,10 +254,11 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
 
 @functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
                                              "interpret", "early_exit",
-                                             "syndrome"))
+                                             "syndrome", "lpg"))
 def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                      beta: int = 1, interpret: bool = False,
-                     early_exit: bool = True, syndrome: str = "kernel"):
+                     early_exit: bool = True, syndrome: str = "kernel",
+                     lpg: int | None = None):
     """Layered OMS decode of B=128 frames in one Pallas kernel.
 
     llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
@@ -269,6 +285,13 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     G, q, Dmax = kt["G"], kt["q"], kt["Dmax"]
     n_rows = (G + q) * PAD
     assert llr_i8.shape == (B, kt["N"]), llr_i8.shape
+    # layers per grid step: fewer grid steps = less per-step DMA/latency
+    # overhead (the per-sweep time was grid-bound, PROFILE_r4.md); the
+    # lpg layers still run serially inside the body, so the layered
+    # schedule is unchanged
+    if lpg is None:
+        lpg = next(k for k in (3, 2, 1) if q % k == 0)
+    assert q % lpg == 0, (q, lpg)
 
     # POST layout via reshape+transpose (gather-free, see llr_to_post),
     # rows padded 360 -> PAD for tile alignment
@@ -277,22 +300,23 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                    ).reshape(n_rows, B)
     msgs = jnp.zeros((q, Dmax, PAD, B), jnp.int8)
 
-    kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows)
+    kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows,
+                             lpg=lpg)
     sweep = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(q,),
+            grid=(q // lpg,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),        # post, stays HBM
-                pl.BlockSpec((1, Dmax, PAD, B),
+                pl.BlockSpec((lpg, Dmax, PAD, B),
                              lambda r, *_: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((n_rows, B), lambda r, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Dmax, PAD, B),
+                pl.BlockSpec((lpg, Dmax, PAD, B),
                              lambda r, *_: (r, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, B), lambda r, *_: (0, 0),
