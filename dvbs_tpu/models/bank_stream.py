@@ -122,7 +122,13 @@ class DVBS2BankStream:
             part = np.asarray(per_carrier[c])
             if part.dtype != np.uint8:          # pre-packed cs4 passthrough
                 part = part.astype(np.complex64)
-            if self._fifos[c].dtype != part.dtype and not len(self._fifos[c]):
+            if self._fifos[c].dtype != part.dtype:
+                if len(self._fifos[c]):
+                    raise TypeError(
+                        f"carrier {c}: feed dtype switched to "
+                        f"{part.dtype} with {len(self._fifos[c])} "
+                        f"{self._fifos[c].dtype} samples buffered — "
+                        "concatenating would silently corrupt the FIFO")
                 self._fifos[c] = np.zeros(0, part.dtype)
             self._fifos[c] = np.concatenate([self._fifos[c], part])
         outs = [bytearray() for _ in range(self.C)]
@@ -263,7 +269,6 @@ class DVBS2BankStream:
         self.frames_ok += fo.sum(axis=1)
         self.ldpc_trials = trials.reshape(C, F).max(axis=1)
         self.sync_quality = small["quality"].mean(axis=1)
-        starts = small["starts"]                     # [C, F]
         return dict(last_end=starts[:, -1] + cfg.plframe_len)
 
     # ------------------------------------------------------------------

@@ -199,8 +199,8 @@ class DVBS2Stream:
         i = 0
         while i < len(ok):
             if not ok[i]:
+                # failed frames are absent from res.bbframes: fi stays
                 self.parser.mark_gap()
-                fi += 0
                 i += 1
                 continue
             if self._frame_discontinuous(starts, i):

@@ -278,10 +278,11 @@ def resample_half_grid(y: jax.Array, t: jax.Array, S_out: int,
     assembled by one-hot selection over contiguous even/odd-phase
     slices, and the per-symbol filter comes from a one-hot
     [..., n_phases] matmul against the bank (rides the MXU).
-    Leading dims batch whole windows: resample_windowed stacks its 64
-    rebased windows here so every op is [W, w]-shaped — the per-window
-    formulation was ~6000 tiny HLO ops and scheduling-bound at 14 ms a
-    bank block (PROFILE_r4.md).
+    Only tests exercise this path now — the hot path is the
+    barrel-shifter + Farrow formulation in resample_windowed (this
+    selector was HBM-bound at 14 ms a bank block, PROFILE_r4.md); it is
+    kept as the independently-validated brute-force oracle
+    (tests/test_frontend_ops.py).
     """
     SP = _RESAMPLE_SPAN
     S = S_out
@@ -521,17 +522,15 @@ def resample_windowed(y2: jax.Array, t: jax.Array,
     ypp = jnp.pad(y2, (bias + 4, 0))
     ypp = jnp.pad(ypp, (0, max(0, need_len - ypp.shape[0])))
     a = ypp[:need_len].reshape(nb + 1, 2 * TS)
-    wide = jnp.concatenate([a[:-1], a[1:]], axis=1)   # [nb, 4*TS] overlap
-    # rows[ti] = ypp[2*TS*ti : 2*TS*ti + width]: stack row pairs until
-    # width covered (width/(2TS) ~ 3 chunks)
+    # rows[ti] = ypp[2*TS*ti : 2*TS*ti + width], assembled from ~3
+    # row-shifted views of the reshape (static slices, no gathers)
     chunks = []
     covered = 0
     while covered < width:
-        src = wide[covered // (2 * TS): covered // (2 * TS) + nt, :]
-        chunks.append(src[:, :min(2 * TS, width - covered)]
-                      if covered + 2 * TS > width else src[:, :2 * TS])
+        m = covered // (2 * TS)
+        chunks.append(a[m:m + nt, :min(2 * TS, width - covered)])
         covered += 2 * TS
-    rows = jnp.concatenate(chunks, axis=1)[:, :width]  # [nt, width]
+    rows = jnp.concatenate(chunks, axis=1)             # [nt, width]
     # barrel shift: drop rb columns from the left, log2 stages
     for b in reversed(range(_SHIFT_BITS)):
         step = 1 << b

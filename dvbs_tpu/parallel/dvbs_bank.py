@@ -448,7 +448,13 @@ class DVBSBankStream:
             part = np.asarray(per_carrier[c])
             if part.dtype != np.uint8:          # pre-packed cs4 passthrough
                 part = part.astype(np.complex64)
-            if self._fifos[c].dtype != part.dtype and not len(self._fifos[c]):
+            if self._fifos[c].dtype != part.dtype:
+                if len(self._fifos[c]):
+                    raise TypeError(
+                        f"carrier {c}: feed dtype switched to "
+                        f"{part.dtype} with {len(self._fifos[c])} "
+                        f"{self._fifos[c].dtype} samples buffered — "
+                        "concatenating would silently corrupt the FIFO")
                 self._fifos[c] = np.zeros(0, part.dtype)
             self._fifos[c] = np.concatenate([self._fifos[c], part])
         outs = [bytearray() for _ in range(self.C)]
@@ -456,6 +462,11 @@ class DVBSBankStream:
             for c in range(self.C):
                 if not self._locked[c]:
                     self._lock_carrier(c)
+            # a fresh lock folds its depuncture-alignment drop into the
+            # FIFO (shrinking it by up to 2*n_kept samples) — re-check
+            # every carrier still holds a full block before stacking
+            if not all(len(f) >= self.n for f in self._fifos):
+                break
             # unlocked carriers still ride the bank (their bits are
             # discarded); each may relock on a later block
             blocks = np.stack([f[:self.n] for f in self._fifos])
@@ -505,8 +516,7 @@ class DVBSBankStream:
         return self._locked.copy()
 
     def get_state(self) -> dict:
-        tails = [t.get_state() for t in self._tails] if self._native_tail \
-            else [t.get_state() for t in self._tails]
+        tails = [t.get_state() for t in self._tails]
         return dict(rate=self.rate,
                     fifos=[f.copy() for f in self._fifos],
                     hints=self._hints.copy(),

@@ -65,10 +65,13 @@ def build_multi_carrier(n_devices: int, carriers_per_device: int = 1,
 def bank_block_symbols(n_carriers: int = 8, mc: int = 4,
                        short: bool = False, pilots: bool = False,
                        frames_total: int = 128) -> int:
-    """Smallest per-carrier block that makes the bank's frame total
-    exactly `frames_total` — the Pallas LDPC kernel's batch width."""
+    """Smallest per-carrier block that brings the bank's frame total to
+    `frames_total` (the Pallas LDPC kernel's batch width) WITHOUT
+    exceeding it — when n_carriers doesn't divide frames_total the
+    total rounds DOWN, so one cyclically lane-padded kernel call still
+    covers the block (padding is free, PROFILE_r4.md)."""
     cfg = modcod.get_config(mc, short=short, pilots=pilots)
-    per = -(-frames_total // n_carriers)
+    per = max(1, frames_total // n_carriers)
     raw = (per + 1) * cfg.plframe_len + 2 * 256 + 90
     # round up to a multiple of 64 (timing-recovery window divisibility)
     return -(-raw // 64) * 64
@@ -130,10 +133,6 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     from ..ops import ldpc_pallas
     if fec == "auto":
         fec = "pallas" if total == ldpc_pallas.B else "xla"
-    if fec == "pallas" and total != ldpc_pallas.B:
-        raise ValueError(f"pallas fec needs exactly {ldpc_pallas.B} frames "
-                         f"per block, bank makes {total} "
-                         f"(use bank_block_symbols)")
 
     if ingest not in ("cs8", "cs4"):
         raise ValueError(f"unknown ingest format {ingest!r}")
@@ -171,13 +170,32 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
         return fec_xla
 
     def make_fec_pallas(iters):
+        Bk = ldpc_pallas.B
+
+        def decode_tiled(llr_q):
+            """Any lane count through the B=128 kernel: cyclic lane
+            padding is FREE (int8 lanes are 128 wide regardless;
+            trials/compute parity asserted in tests/test_ldpc_pallas.py,
+            measured in PROFILE_r4.md 'Variable-batch')."""
+            outs = []
+            for lo in range(0, llr_q.shape[0], Bk):
+                chunk = llr_q[lo:lo + Bk]
+                c = chunk.shape[0]
+                if c < Bk:
+                    chunk = jnp.tile(chunk, (-(-Bk // c), 1))[:Bk]
+                h, nb, tr = ldpc_pallas.decode_qc_pallas(
+                    chunk, rx.cfg.ldpc_table, n_iters=iters,
+                    interpret=interpret_pallas)
+                outs.append((h[:c], nb[:c], tr[:c]))
+            return tuple(jnp.concatenate([o[i] for o in outs])
+                         for i in range(3))
+
         @jax.jit
         def fec_pallas(llrs):
             # interpret_pallas=True runs the kernel in Pallas interpret
             # mode so the full pallas-FEC bank is CPU-testable (tests)
-            hard, n_bad, trials = ldpc_pallas.decode_qc_pallas(
-                ldpc_pallas.quantize_llrs(llrs), rx.cfg.ldpc_table,
-                n_iters=iters, interpret=interpret_pallas)
+            hard, n_bad, trials = decode_tiled(
+                ldpc_pallas.quantize_llrs(llrs))
             packed, bch_bad = pack_and_check(hard)
             # trials = per-frame sweep at which the in-kernel online
             # syndrome first read zero (n_iters if never) — the

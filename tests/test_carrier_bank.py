@@ -176,3 +176,18 @@ def test_bank_8psk_pilots():
     kb = out["kbch_bytes"].reshape(CARRIERS, F, -1)
     for c in range(CARRIERS):
         assert kb[c, 0].tobytes() in sents[c], f"carrier {c}"
+
+
+def test_bank_pallas_any_carrier_count():
+    """fec="pallas" with a frame total that doesn't hit the kernel's
+    B=128 exactly must lane-pad instead of raising (regression: the CLI
+    --carrier path crashed for carrier counts not dividing 128)."""
+    block = bank_block_symbols(3, mc=MC, short=SHORT, frames_total=6)
+    step, example = build_carrier_bank(3, mc=MC, short=SHORT,
+                                       block_symbols=block, fec="pallas",
+                                       interpret_pallas=True)
+    sigs = [_carrier_signal(40 + i, 2 * block, 0.003 * np.pi * (i + 1))
+            for i in range(3)]
+    out = {k: np.asarray(v)
+           for k, v in step(np.stack([_to_cs8(s) for s in sigs])).items()}
+    assert out["ldpc_ok"].all() and not out["bch_bad"].any()

@@ -111,3 +111,31 @@ def test_dvbs_bank_stream_checkpoint():
     assert a == b and len(a[0]) > 0
     _contiguous(a[0], s0)
     _contiguous(a[1], s1)
+
+
+def test_dvbs_bank_stream_rate34_lock_drop():
+    """Rates with nonzero depuncture-alignment drops shrink the FIFO at
+    lock time; feed must re-check block availability before stacking
+    (regression: reshape/ragged-stack crash at first lock)."""
+    def carrier(seed, cfo):
+        ts = dvbs_mod.random_ts_groups(30, seed=seed)
+        tx = dvbs_mod.DVBSModulator(rate="3/4").ts_to_symbols(ts)
+        x = channel.shape(tx, sps=2)
+        return channel.impair(x, snr_db=14.0, cfo=cfo, delay_samples=0.4,
+                              seed=seed + 1), ts.reshape(-1, 188)
+
+    y0, s0 = carrier(71, 0.01)
+    y1, s1 = carrier(72, -0.014)
+    n = min(len(y0), len(y1)) // BLOCK * BLOCK
+    st = DVBSBankStream(C, rate="3/4", block_samples=BLOCK, ingest="f16")
+    outs = [bytearray(), bytearray()]
+    # feed in EXACT block-sized chunks (the crash trigger: lock drops
+    # leave the FIFO just under a block)
+    for lo in range(0, n, BLOCK):
+        for c, o in zip(st.feed([y0[lo:lo + BLOCK], y1[lo:lo + BLOCK]]),
+                        outs):
+            o.extend(c)
+    assert st.locked.all() and (st.ber < 0.05).all()
+    m0 = _contiguous(bytes(outs[0]), s0)
+    m1 = _contiguous(bytes(outs[1]), s1)
+    assert m0 >= 60 and m1 >= 60
