@@ -281,3 +281,103 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
     if stream_outputs:
         return step, example, make_escalate()
     return step, example
+
+
+def build_carrier_bank_sharded(n_devices: int, carriers_per_device: int = 1,
+                               mc: int = 4, short: bool = False,
+                               pilots: bool = False,
+                               block_symbols: int | None = None,
+                               n_iters: int = 12, fec_chunk: int = 24,
+                               n_iters_full: int = 32,
+                               ingest: str = "cs8"):
+    """Mesh-sharded bank program with DVBS2BankStream's output contract.
+
+    The production streaming driver (models/bank_stream.DVBS2BankStream)
+    takes any (step, example, escalate) triple via its `program=`
+    parameter; this builds one whose step is a shard_map over a
+    `carrier` device mesh — each device demodulates and FEC-decodes its
+    local carriers, and the driver's host tail (escalation gating, BCH
+    repair, per-carrier TS parse, damped-advance continuity) runs
+    unchanged on the gathered outputs. This is the multi-chip scale
+    story of SURVEY.md sec. 2.5 applied to the STREAMING receiver, not
+    just a one-shot block demod (cf. build_multi_carrier).
+
+    FEC is the XLA chunked path (the Pallas kernel stays the
+    single-device fast path; per-shard lane counts are small anyway).
+    Returns (step, example, escalate).
+    """
+    devices = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devices, ("carrier",))
+    if block_symbols is None:
+        block_symbols = bank_block_symbols(
+            n_devices * carriers_per_device, mc=mc, short=short,
+            pilots=pilots)
+    rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
+                       block_symbols=block_symbols,
+                       max_ldpc_trials=n_iters)
+    core = rx._sym_fn
+    F = rx.n_frames
+    N = rx.cfg.nldpc
+    kbch = rx.cfg.kbch
+    cl = carriers_per_device
+    C = n_devices * cl
+    n = 2 * block_symbols
+
+    from ..spec import scrambling
+    from ..ops import bch, frontend, ldpc_qc
+    bb_mask = scrambling.bb_scrambler_byte_mask(kbch // 8)
+
+    def pack_and_check(hard):
+        bch_bad = bch.syndrome_nonzero(hard[:, :rx.cfg.nbch],
+                                       rx.cfg.framesize, rx.cfg.rate)
+        packed = frontend.pack_bits_to_bytes(hard[:, :kbch]) ^ bb_mask
+        return packed, bch_bad
+
+    def fec_local(llrs, iters):
+        parts = []
+        for lo in range(0, cl * F, fec_chunk):
+            chunk = llrs[lo:min(lo + fec_chunk, cl * F)]
+            hard, n_bad, trials = ldpc_qc.decode_qc(
+                chunk, rx.cfg.ldpc_table, n_iters=iters)
+            packed, bch_bad = pack_and_check(hard)
+            parts.append(dict(kbch_bytes=packed, trials=trials,
+                              ldpc_ok=n_bad == 0, bch_bad=bch_bad,
+                              hard=hard))
+        return {k: jnp.concatenate([p[k] for p in parts])
+                for k in parts[0]}
+
+    def unpack(p):
+        return frontend.unpack_cs4(p) if ingest == "cs4" else p
+
+    def local_step(samples):
+        out = jax.vmap(core)(unpack(samples))
+        llrs = out.pop("llrs").reshape(cl * F, N)
+        fd = fec_local(llrs, n_iters)
+        fd.update(quality=out["quality"], pls=out["pls"],
+                  starts=out["starts"], cfo=out["cfo"],
+                  freq=out["freq"], llrs=llrs)
+        return fd
+
+    lane_specs = dict(kbch_bytes=P("carrier"), trials=P("carrier"),
+                      ldpc_ok=P("carrier"), bch_bad=P("carrier"),
+                      hard=P("carrier"), llrs=P("carrier"))
+    step = jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("carrier"),),
+        out_specs=dict(quality=P("carrier"), pls=P("carrier"),
+                       starts=P("carrier"), cfo=P("carrier"),
+                       freq=P("carrier"), **lane_specs),
+    ))
+
+    def local_esc(llrs):
+        return fec_local(llrs, n_iters_full)
+
+    escalate = jax.jit(shard_map(
+        local_esc, mesh=mesh, in_specs=(P("carrier"),),
+        out_specs=lane_specs))
+
+    if ingest == "cs4":
+        example = np.zeros((C, n), np.uint8)
+    else:
+        example = np.zeros((C, 2, n), np.int8)
+    return step, example, escalate
