@@ -109,3 +109,29 @@ def test_bank_stream_checkpoint_resume(stream_run):
     assert a == b and len(a[0]) > 0 and len(a[1]) > 0
     _contiguous_match(a[0], sent0)
     _contiguous_match(a[1], sent1)
+
+
+def test_bank_stream_dead_carrier_isolated():
+    """A carrier with no signal (pure noise) must not disturb the other
+    carrier: its frames fail the quality/BCH gates and its parser gets
+    gaps, while the live carrier stays contiguous."""
+    block = bank_block_symbols(C, mc=MC, short=SHORT, frames_total=4)
+    st = DVBS2BankStream(C, mc=MC, short=SHORT, block_symbols=block,
+                         fec="xla", ingest="f16")
+    y0, sent0 = _carrier(91, 500, 0.005 * np.pi, 0.2)
+    rng = np.random.default_rng(7)
+    n = 5 * 2 * block
+    noise = 0.8 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                   ).astype(np.complex64)
+    outs = [bytearray(), bytearray()]
+    for lo in range(0, n, 2 * block):
+        for c, o in zip(st.feed([y0[lo:lo + 2 * block],
+                                 noise[lo:lo + 2 * block]]), outs):
+            o.extend(c)
+    for c, o in zip(st.flush(), outs):
+        o.extend(c)
+    assert st.frames_ok[0] == st.frames_seen[0] >= 3 * st.F
+    assert st.frames_ok[1] == 0, "noise carrier must emit no frames"
+    assert len(outs[1]) == 0
+    m0 = _contiguous_match(bytes(outs[0]), sent0)
+    assert m0 >= 2 * st.F * (st.cfg.kbch // 8 // 188)
