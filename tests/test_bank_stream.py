@@ -135,3 +135,30 @@ def test_bank_stream_dead_carrier_isolated():
     assert len(outs[1]) == 0
     m0 = _contiguous_match(bytes(outs[0]), sent0)
     assert m0 >= 2 * st.F * (st.cfg.kbch // 8 // 188)
+
+
+def test_bank_stream_escalation_path():
+    """Starve the first FEC pass (n_iters=2) so frames fail LDPC and the
+    full-budget escalation rerun must recover them — the bad()-gated
+    retry of the reference (layered_decoder.hh:121-133) at bank scale."""
+    block = bank_block_symbols(C, mc=MC, short=SHORT, frames_total=4)
+    st = DVBS2BankStream(C, mc=MC, short=SHORT, block_symbols=block,
+                         fec="xla", ingest="f16", n_iters=1,
+                         max_ldpc_trials=40)
+    y0, sent0 = _carrier(95, 400, 0.004 * np.pi, 0.3, snr=3.8)
+    y1, sent1 = _carrier(96, 400, -0.006 * np.pi, 0.6, snr=3.8)
+    n = 3 * 2 * block
+    outs = [bytearray(), bytearray()]
+    for lo in range(0, n, 2 * block):
+        for c, o in zip(st.feed([y0[lo:lo + 2 * block],
+                                 y1[lo:lo + 2 * block]]), outs):
+            o.extend(c)
+    for c, o in zip(st.flush(), outs):
+        o.extend(c)
+    assert (st.frames_ok == st.frames_seen).all(), \
+        f"escalation must recover all frames: {st.frames_ok}"
+    # the escalation actually fired: reported trials exceed the pass-1
+    # budget (finalize adds n_iters + retry trials for retried lanes)
+    assert (st.ldpc_trials > 1).any(), st.ldpc_trials
+    _contiguous_match(bytes(outs[0]), sent0)
+    _contiguous_match(bytes(outs[1]), sent1)
