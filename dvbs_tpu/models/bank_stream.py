@@ -19,9 +19,19 @@ receiver rather than a bench construct:
 - get_state/set_state checkpointing (parser + FIFO + advance state).
 
 All carriers share one MODCOD — the BASELINE.json north-star workload
-(8 x QPSK 1/2). Mixed-MODCOD bouquets use one DVBS2Stream per carrier.
+(8 x QPSK 1/2).  Bank-level auto-MODCOD (the reference's per-instance
+50-frame unanimity switch, main.cpp:383-408, lifted to the bank): each
+carrier accumulates a confidence-gated PLS vote from the bank's own
+header detections; when EVERY carrier's vote settles on the same new
+MODCOD the bank rebuilds its device program once and streaming
+continues from the buffered samples.  A single diverging carrier never
+rebuilds the shared program — its voted MODCOD is surfaced in
+`detected_pls` so the operator (or CLI) can split it out into its own
+DVBS2Stream, which is the right tool for mixed-MODCOD bouquets.
 """
 from __future__ import annotations
+
+import collections
 
 import numpy as np
 
@@ -39,38 +49,26 @@ class DVBS2BankStream:
                  fec: str = "auto", ingest: str = "f16",
                  n_iters: int = 12, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6,
-                 interpret_pallas: bool = False, program=None):
-        from ..parallel.mesh import build_carrier_bank, bank_block_symbols
-        if block_symbols is None:
-            block_symbols = bank_block_symbols(n_carriers, mc=mc,
-                                               short=short, pilots=pilots)
+                 interpret_pallas: bool = False, program=None,
+                 auto_modcod: bool = True, on_modcod_switch=None):
         self.C = n_carriers
-        self.cfg = modcod.get_config(mc, short=short, pilots=pilots)
-        self.block_symbols = block_symbols
         self.sof_threshold = sof_threshold
         self.ingest = ingest
-        if program is not None:
-            # share an already-built (compiled) bank program between
-            # streams of identical geometry (bench reuses one program
-            # for the TS and GSE quality gates)
-            self.step_fn, self._example, self._escalate = program
-        else:
-            self.step_fn, self._example, self._escalate = build_carrier_bank(
-                n_carriers, mc=mc, short=short, pilots=pilots,
-                block_symbols=block_symbols, n_iters=n_iters, fec=fec,
-                ingest="cs4" if ingest == "cs4" else "cs8",
-                interpret_pallas=interpret_pallas, stream_outputs=True,
-                n_iters_full=max_ldpc_trials)
         self.n_iters = n_iters
-        # geometry mirrors DVBS2Receiver (mesh builds the same core)
-        L = self.cfg.plframe_len
-        self.edge_margin = 256
-        self.F = (block_symbols - 2 * self.edge_margin - 90) // L - 1
+        self._build_opts = dict(
+            fec=fec, n_iters=n_iters, max_ldpc_trials=max_ldpc_trials,
+            interpret_pallas=interpret_pallas)
+        self.auto_modcod = auto_modcod
+        self.on_modcod_switch = on_modcod_switch
+        # per-carrier confidence-gated PLS vote (reference main.cpp:383-
+        # 408 per instance); detected_pls[c] = current top vote or -1
+        self._votes = [collections.deque(maxlen=50)
+                       for _ in range(n_carriers)]
+        self.detected_pls = np.full(n_carriers, -1, np.int64)
+        self._configure(mc, short, pilots, block_symbols, program=program)
         self.parsers = [make_bbframe_parser(self.cfg.kbch)
                         for _ in range(n_carriers)]
         self._fifos = [np.zeros(0, np.complex64) for _ in range(n_carriers)]
-        self._next_adv = np.full(n_carriers,
-                                 2 * self.F * L, np.int64)
         self._expected_start = np.full(n_carriers, -1, np.int64)
         self._pending = None
         # rolling metrics (per carrier)
@@ -78,6 +76,69 @@ class DVBS2BankStream:
         self.frames_ok = np.zeros(n_carriers, np.int64)
         self.ldpc_trials = np.zeros(n_carriers, np.int32)
         self.sync_quality = np.zeros(n_carriers, np.float32)
+
+    def _configure(self, mc, short, pilots, block_symbols=None,
+                   program=None):
+        """(Re)build the device program for a MODCOD. Used by __init__
+        and by the bank-level auto-MODCOD switch."""
+        from ..parallel.mesh import build_carrier_bank, bank_block_symbols
+        if block_symbols is None:
+            block_symbols = bank_block_symbols(self.C, mc=mc, short=short,
+                                               pilots=pilots)
+        self.cfg = modcod.get_config(mc, short=short, pilots=pilots)
+        self.block_symbols = block_symbols
+        if program is not None:
+            # share an already-built (compiled) bank program between
+            # streams of identical geometry (bench reuses one program
+            # for the TS and GSE quality gates)
+            self.step_fn, self._example, self._escalate = program
+        else:
+            self.step_fn, self._example, self._escalate = build_carrier_bank(
+                self.C, mc=mc, short=short, pilots=pilots,
+                block_symbols=block_symbols,
+                n_iters=self._build_opts["n_iters"],
+                fec=self._build_opts["fec"],
+                ingest="cs4" if self.ingest == "cs4" else "cs8",
+                interpret_pallas=self._build_opts["interpret_pallas"],
+                stream_outputs=True,
+                n_iters_full=self._build_opts["max_ldpc_trials"])
+        # geometry mirrors DVBS2Receiver (mesh builds the same core)
+        L = self.cfg.plframe_len
+        self.edge_margin = 256
+        self.F = (block_symbols - 2 * self.edge_margin - 90) // L - 1
+        self._next_adv = np.full(self.C, 2 * self.F * L, np.int64)
+
+    def _maybe_switch_modcod(self) -> bool:
+        """Bank-level MODCOD switch: every carrier must reach a 45/50
+        supermajority on the SAME new PLS code (the bank shares one
+        program; a lone divergent carrier is surfaced via detected_pls
+        instead — split it into its own DVBS2Stream)."""
+        if not self.auto_modcod:
+            return False
+        tops = self.detected_pls
+        top = tops[0]
+        if top < 0 or (tops != top).any() or top == self.cfg.pls_code:
+            return False
+        if not all(len(v) >= 50 and
+                   (np.array(v) == top).sum() >= 45
+                   for v in self._votes):
+            return False
+        mc = int(top) >> 2
+        if mc not in range(1, 29):
+            return False
+        try:
+            self._configure(mc, bool(top & 2), bool(top & 1))
+        except ValueError:
+            return False
+        for v in self._votes:
+            v.clear()
+        self.detected_pls[:] = -1
+        self.parsers = [make_bbframe_parser(self.cfg.kbch)
+                        for _ in range(self.C)]
+        self._expected_start[:] = -1
+        if self.on_modcod_switch is not None:
+            self.on_modcod_switch(self.cfg)
+        return True
 
     @property
     def program(self):

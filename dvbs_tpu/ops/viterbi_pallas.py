@@ -1,0 +1,219 @@
+"""Radix-8 Viterbi ACS + traceback — Pallas TPU kernel (DVB-S K=7).
+
+The high-throughput companion of ops/viterbi.py (pure XLA lax.scan):
+same overlapped-segment batching, but the whole forward ACS recursion
+AND the one-hot traceback run inside ONE kernel with the path metrics
+and the decision history resident in VMEM, so the ~15 us/step XLA scan
+floor (PROFILE_r4.md "DVB-S Viterbi: measured design space") disappears
+— a fori_loop step here costs the VPU work and nothing else.
+
+The TPU-native trick is the layout. With radix 2^k and states
+ns = hi*2^(6-k) + lo, the predecessor of ns under fused input j is
+prev = lo*2^k + j.  Store the path metrics in DIGIT-SWAPPED order
+stored[j*2^(6-k) + lo] = pm[lo*2^k + j]; then
+
+  - candidate expansion = pltpu.repeat(stored, 2^k) (rows (j, lo, hi)),
+    a pure sublane replication — no gather;
+  - branch metrics = one [64*2^k, 2k] x [2k, B] MXU matmul against a
+    statically (j, lo, hi)-reordered sign table;
+  - the max-reduction over j is k contiguous-HALF folds (j is the
+    major digit) — static 8-aligned slices, no strided access;
+  - the fold output lands in (lo, hi) row order, which at k == 3
+    (and only k == 3: the swap (a,b)->(b,a) must be an involution on
+    equal 3-bit digits) IS the digit-swapped storage order the next
+    step needs.  Zero per-step relayout, by construction.
+
+Traceback mirrors it in NATURAL state order: expanding the one-hot
+state vector with repeat over candidate j and summing over hi (again
+the major digit -> contiguous folds) yields the predecessor one-hot
+directly in natural order.  Decisions are bridged from the fold's
+(lo, hi) order to natural order by one 64x64 permutation-matrix
+matmul per step (MXU, trivial) — a fixed row permutation as a matmul
+instead of a sublane shuffle, because TPU sublane gathers serialize.
+
+The reference decodes this code with a one-step-at-a-time SSE ACS
+kernel over 8192-bit blocks (cc_decoder.cpp:56-92, viterbi_all.cpp:
+209-273); here ~1024 overlapped segments decode in parallel with the
+trellis walked 3 steps per iteration.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import dvbs_fec
+from .viterbi import _trellis_k, N_STATES
+
+K = 3                 # radix-8: the self-consistent-layout radix
+R = 1 << K            # 8 fused inputs per step
+BT = 128              # segments per grid step (one f32 lane tile)
+
+
+@functools.lru_cache()
+def _tables_k3():
+    """(M_fwd [512, 72], Rep [512, 64], P [64, 64], Bm [8, 64]) f32.
+
+    M_fwd fuses the candidate expansion with the branch metrics: row
+    L = (j, lo, hi) has a 1 at column (j*8 + lo) — the digit-swapped
+    stored-pm row of predecessor lo*8 + j — and the expected +-1
+    outputs (earliest (X, Y) first) of the branch prev -> ns
+    (ns = hi*8 + lo) in columns 64:70, so one MXU matmul of M_fwd
+    against [stored_pm; r] yields all 512 candidates.  (pltpu.repeat
+    TILES copies rather than replicating rows, so the sublane
+    element-repeat is expressed as a matmul instead.)  Rep is the
+    plain element-repeat matrix (row s*8+j -> column s) used by the
+    traceback.  P is the digit-swap permutation (row ns = hi*8+lo
+    picks fold-output row lo*8+hi).  Bm[i, s] = bit i (earliest-first)
+    of s's top-3 'hi' digits — the k fused input bits of the step that
+    ENTERED state s.
+    """
+    sign, bits_hi = _trellis_k(K)            # sign [64, 8, 6]
+    M_fwd = np.zeros((N_STATES * R, N_STATES + R), np.float32)
+    for j in range(R):
+        for lo in range(R):
+            for hi in range(R):
+                ns = hi * R + lo
+                L = (j * R + lo) * R + hi
+                M_fwd[L, j * R + lo] = 1.0
+                M_fwd[L, N_STATES:N_STATES + 2 * K] = sign[ns, j]
+    Rep = np.zeros((N_STATES * R, N_STATES), np.float32)
+    for s in range(N_STATES):
+        for j in range(R):
+            Rep[s * R + j, s] = 1.0
+    P = np.zeros((N_STATES, N_STATES), np.float32)
+    for hi in range(R):
+        for lo in range(R):
+            P[hi * R + lo, lo * R + hi] = 1.0
+    Bm = np.zeros((R, N_STATES), np.float32)
+    for s in range(N_STATES):
+        for i in range(K):
+            Bm[i, s] = (s >> (K + i)) & 1
+    return M_fwd, Rep, P, Bm
+
+
+def _kernel(r_ref, m_ref, rep_ref, p_ref, bm_ref, bits_ref, decs, *,
+            nsteps):
+    B = r_ref.shape[3]
+    # traceback expansion rows are (state s, candidate j) = s*8 + j
+    # (int32 iota then cast: Mosaic's tpu.iota is integer-only)
+    jiota = (jax.lax.broadcasted_iota(
+        jnp.int32, (N_STATES * R, B), 0) % R).astype(jnp.float32)
+
+    def fwd(t, pm):
+        r = r_ref[0, t]                                    # [8, B]
+        v = jnp.concatenate([pm, r], axis=0)               # [72, B]
+        cand = jnp.dot(m_ref[:], v,
+                       preferred_element_type=jnp.float32)  # rows (j,lo,hi)
+        a, b = cand[0:256], cand[256:512]
+        w = b > a
+        c = jnp.where(w, b, a)
+        idx = jnp.where(w, 4.0, 0.0)
+        a, b = c[0:128], c[128:256]
+        ia, ib = idx[0:128], idx[128:256]
+        w = b > a
+        c = jnp.where(w, b, a)
+        idx = jnp.where(w, ib + 2.0, ia)
+        a, b = c[0:64], c[64:128]
+        ia, ib = idx[0:64], idx[64:128]
+        w = b > a
+        c = jnp.where(w, b, a)                             # rows (lo,hi)
+        idx = jnp.where(w, ib + 1.0, ia)
+        # decisions to NATURAL state order via the swap-perm matmul
+        dec_nat = jnp.dot(p_ref[:], idx,
+                          preferred_element_type=jnp.float32)
+        decs[pl.ds(t * N_STATES, N_STATES), :] = dec_nat.astype(jnp.int8)
+        return c                                           # next stored pm
+
+    pm0 = jnp.zeros((N_STATES, B), jnp.float32)
+    jax.lax.fori_loop(0, nsteps, fwd, pm0)
+
+    # traceback from state 0 (any state: the segment wings absorb the
+    # boundary, ops/viterbi.py docstring) in natural state order
+    oh0 = (jax.lax.broadcasted_iota(jnp.int32, (N_STATES, B), 0) == 0
+           ).astype(jnp.float32)
+
+    def tb(i, oh):
+        t = nsteps - 1 - i
+        # the k input bits of step t are the hi digits of the state at
+        # time t+1 — emit BEFORE stepping back
+        bits_ref[0, t] = jnp.dot(bm_ref[:], oh,
+                                 preferred_element_type=jnp.float32)
+        dec = decs[pl.ds(t * N_STATES, N_STATES), :].astype(jnp.float32)
+        # rows (s, rep j): keep the branch whose decision matches j
+        ohx = jnp.dot(rep_ref[:], oh, preferred_element_type=jnp.float32)
+        decx = jnp.dot(rep_ref[:], dec,
+                       preferred_element_type=jnp.float32)
+        x = ohx * (decx == jiota).astype(jnp.float32)
+        # sum over hi (major digit of s) -> rows (lo, j) = natural
+        # order of prev = lo*8 + j
+        x = x[0:256] + x[256:512]
+        x = x[0:128] + x[128:256]
+        return x[0:64] + x[64:128]
+
+    jax.lax.fori_loop(0, nsteps, tb, oh0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_segments_pallas(llrs: jax.Array, interpret: bool = False
+                           ) -> jax.Array:
+    """llrs [B, T, 2] float (positive = bit 0) -> bits [B, T] uint8.
+
+    Drop-in for ops/viterbi.decode_segments at bank scale.  B pads to a
+    multiple of 128 (lane tile), T to a multiple of 3 with zero-LLR
+    (erasure) steps — appended zeros never change which path wins, and
+    traceback through them follows the surviving path, exactly as the
+    XLA version's padding argument.  Traceback starts from state 0
+    rather than the argmax end state; callers consume only the segment
+    cores, where every start state's traceback has merged onto the
+    survivor path (wings >= 15 constraint lengths).
+    """
+    M_fwd, Rep, P, Bm = _tables_k3()
+    B, T, _ = llrs.shape
+    Tk = -(-T // K) * K
+    nsteps = Tk // K
+    Bp = -(-B // BT) * BT
+    nb = Bp // BT
+    x = jnp.zeros((Bp, Tk, 2), jnp.float32)
+    x = x.at[:B, :T].set(llrs.astype(jnp.float32))
+    # [Bp, nsteps, 6] -> [nb, nsteps, 8, BT] (step-major, batch on lanes)
+    r = x.reshape(nb, BT, nsteps, 2 * K).transpose(0, 2, 3, 1)
+    r = jnp.pad(r, ((0, 0), (0, 0), (0, 2), (0, 0)))
+
+    kern = functools.partial(_kernel, nsteps=nsteps)
+    bits = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, nsteps, R, BT), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_STATES * R, N_STATES + R),
+                             lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_STATES * R, N_STATES), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_STATES, N_STATES), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, N_STATES), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nsteps, R, BT),
+                                   lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((nsteps * N_STATES, BT), jnp.int8),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, nsteps, R, BT), jnp.float32),
+        interpret=interpret,
+    )(r, jnp.asarray(M_fwd), jnp.asarray(Rep), jnp.asarray(P),
+      jnp.asarray(Bm))
+
+    # [nb, nsteps, 8, BT] -> [Bp, Tk]; rows 0:3 are the k bits
+    out = bits[:, :, :K, :].transpose(0, 3, 1, 2).reshape(Bp, Tk)
+    return (out[:B, :T] > 0.5).astype(jnp.uint8)

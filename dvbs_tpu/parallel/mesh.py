@@ -242,7 +242,8 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
             out = jax.vmap(core)(unpack(samples))
             llrs = out.pop("llrs").reshape(total, N)
             fd = fec_pallas(llrs)
-            fd.update(quality=out["quality"], pls=out["pls"])
+            fd.update(quality=out["quality"], pls=out["pls"],
+                      pls_conf=out["pls_conf"])
             if stream_outputs:
                 fd.update(starts=out["starts"], cfo=out["cfo"],
                           freq=out["freq"], llrs=llrs)
@@ -268,7 +269,8 @@ def build_carrier_bank(n_carriers: int, mc: int = 4, short: bool = False,
                  for lo in range(0, total, fec_chunk)]
         fd = {k: jnp.concatenate([p[k] for p in parts])
               for k in parts[0]}
-        fd.update(quality=out["quality"], pls=out["pls"])
+        fd.update(quality=out["quality"], pls=out["pls"],
+                  pls_conf=out["pls_conf"])
         if stream_outputs:
             fd.update(starts=out["starts"], cfo=out["cfo"],
                       freq=out["freq"], llrs=llrs)
@@ -354,6 +356,7 @@ def build_carrier_bank_sharded(n_devices: int, carriers_per_device: int = 1,
         llrs = out.pop("llrs").reshape(cl * F, N)
         fd = fec_local(llrs, n_iters)
         fd.update(quality=out["quality"], pls=out["pls"],
+                  pls_conf=out["pls_conf"],
                   starts=out["starts"], cfo=out["cfo"],
                   freq=out["freq"], llrs=llrs)
         return fd
@@ -365,6 +368,7 @@ def build_carrier_bank_sharded(n_devices: int, carriers_per_device: int = 1,
         local_step, mesh=mesh,
         in_specs=(P("carrier"),),
         out_specs=dict(quality=P("carrier"), pls=P("carrier"),
+                       pls_conf=P("carrier"),
                        starts=P("carrier"), cfo=P("carrier"),
                        freq=P("carrier"), **lane_specs),
     ))
