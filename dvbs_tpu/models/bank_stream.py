@@ -50,7 +50,8 @@ class DVBS2BankStream:
                  n_iters: int = 12, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6,
                  interpret_pallas: bool = False, program=None,
-                 auto_modcod: bool = True, on_modcod_switch=None):
+                 auto_modcod: bool = True, on_modcod_switch=None,
+                 vote_frames: int = 50):
         self.C = n_carriers
         self.sof_threshold = sof_threshold
         self.ingest = ingest
@@ -62,7 +63,8 @@ class DVBS2BankStream:
         self.on_modcod_switch = on_modcod_switch
         # per-carrier confidence-gated PLS vote (reference main.cpp:383-
         # 408 per instance); detected_pls[c] = current top vote or -1
-        self._votes = [collections.deque(maxlen=50)
+        self._vote_n = vote_frames
+        self._votes = [collections.deque(maxlen=vote_frames)
                        for _ in range(n_carriers)]
         self.detected_pls = np.full(n_carriers, -1, np.int64)
         self._configure(mc, short, pilots, block_symbols, program=program)
@@ -107,6 +109,9 @@ class DVBS2BankStream:
         self.edge_margin = 256
         self.F = (block_symbols - 2 * self.edge_margin - 90) // L - 1
         self._next_adv = np.full(self.C, 2 * self.F * L, np.int64)
+        # an auto-MODCOD rebuild keeps the bank's frame-lane scale
+        # rather than re-deriving the default 128-lane geometry
+        self._frames_total = self.F * self.C
 
     def _maybe_switch_modcod(self) -> bool:
         """Bank-level MODCOD switch: every carrier must reach a 45/50
@@ -119,15 +124,21 @@ class DVBS2BankStream:
         top = tops[0]
         if top < 0 or (tops != top).any() or top == self.cfg.pls_code:
             return False
-        if not all(len(v) >= 50 and
-                   (np.array(v) == top).sum() >= 45
+        need = int(0.9 * self._vote_n + 0.5)
+        if not all(len(v) >= self._vote_n and
+                   (np.array(v) == top).sum() >= need
                    for v in self._votes):
             return False
         mc = int(top) >> 2
         if mc not in range(1, 29):
             return False
+        from ..parallel.mesh import bank_block_symbols
         try:
-            self._configure(mc, bool(top & 2), bool(top & 1))
+            short, pilots = bool(top & 2), bool(top & 1)
+            self._configure(mc, short, pilots,
+                            block_symbols=bank_block_symbols(
+                                self.C, mc=mc, short=short, pilots=pilots,
+                                frames_total=self._frames_total))
         except ValueError:
             return False
         for v in self._votes:
@@ -193,10 +204,12 @@ class DVBS2BankStream:
                 self._fifos[c] = np.zeros(0, part.dtype)
             self._fifos[c] = np.concatenate([self._fifos[c], part])
         outs = [bytearray() for _ in range(self.C)]
-        n = 2 * self.block_symbols
-        L = self.cfg.plframe_len
-        F_L = self.F * L
         while True:
+            # re-read geometry every pass: an auto-MODCOD switch changes
+            # block_symbols / frame length mid-stream
+            n = 2 * self.block_symbols
+            L = self.cfg.plframe_len
+            F_L = self.F * L
             if self._pending is None:
                 if not self._have_block():
                     break
@@ -211,6 +224,17 @@ class DVBS2BankStream:
                 ahead = self.step_fn(self._upload(blocks))
             res = self._finalize(self._pending, outs)
             last_end = res["last_end"]           # [C] symbols
+            if res.get("switched"):
+                # program/geometry changed: the look-ahead block (if
+                # any) was built by the stale program — discard it and
+                # re-dispatch from the trimmed FIFOs (_configure already
+                # reset _next_adv; _maybe_switch reset _expected_start)
+                for c in range(self.C):
+                    adv = 2 * max(int(last_end[c]) - self.edge_margin -
+                                  self.GUARD, L)
+                    self._fifos[c] = self._fifos[c][adv:]
+                self._pending = None
+                continue
             if ahead is None:
                 for c in range(self.C):
                     adv = 2 * max(int(last_end[c]) - self.edge_margin -
@@ -239,15 +263,16 @@ class DVBS2BankStream:
         more samples (end of capture / before checkpointing)."""
         outs = [bytearray() for _ in range(self.C)]
         if self._pending is not None:
+            L = self.cfg.plframe_len      # pre-switch frame length
             res = self._finalize(self._pending, outs)
             last_end = res["last_end"]
-            L = self.cfg.plframe_len
             for c in range(self.C):
                 adv = 2 * max(int(last_end[c]) - self.edge_margin -
                               self.GUARD, L)
                 self._fifos[c] = self._fifos[c][adv:]
-                self._next_adv[c] = 2 * self.F * L
-                self._expected_start[c] = int(last_end[c]) - adv // 2
+                if not res.get("switched"):
+                    self._next_adv[c] = 2 * self.F * L
+                    self._expected_start[c] = int(last_end[c]) - adv // 2
             self._pending = None
         return [bytes(o) for o in outs]
 
@@ -330,7 +355,21 @@ class DVBS2BankStream:
         self.frames_ok += fo.sum(axis=1)
         self.ldpc_trials = trials.reshape(C, F).max(axis=1)
         self.sync_quality = small["quality"].mean(axis=1)
-        return dict(last_end=starts[:, -1] + cfg.plframe_len)
+        # bank-level auto-MODCOD vote (confidence-gated, as the single-
+        # carrier driver: off-SOF locator hits while misconfigured read
+        # noise PLS — the soft-correlation confidence separates them)
+        pls = small["pls"].reshape(C, F)
+        conf = small["pls_conf"].reshape(C, F)
+        for c in range(C):
+            for i in range(F):
+                if conf[c, i] >= 0.7:
+                    self._votes[c].append(int(pls[c, i]))
+            if len(self._votes[c]) >= self._vote_n:
+                vals, counts = np.unique(np.array(self._votes[c]),
+                                         return_counts=True)
+                self.detected_pls[c] = int(vals[counts.argmax()])
+        return dict(last_end=starts[:, -1] + cfg.plframe_len,
+                    switched=self._maybe_switch_modcod())
 
     # ------------------------------------------------------------------
     # checkpoint/resume (SURVEY.md sec. 5): feed() leaves no in-flight
@@ -345,11 +384,28 @@ class DVBS2BankStream:
                     expected_start=self._expected_start.copy(),
                     parser_state=[p.get_state() for p in self.parsers],
                     frames_seen=self.frames_seen.copy(),
-                    frames_ok=self.frames_ok.copy())
+                    frames_ok=self.frames_ok.copy(),
+                    votes=[list(v) for v in self._votes])
 
     def set_state(self, st: dict):
-        assert st["pls_code"] == self.cfg.pls_code, \
-            "bank checkpoint MODCOD mismatch (rebuild the bank)"
+        if st["pls_code"] != self.cfg.pls_code:
+            # checkpoint taken after an auto-MODCOD switch: rebuild the
+            # program for the checkpointed MODCOD (as DVBS2Stream does),
+            # keeping this bank's frame-lane scale
+            from ..parallel.mesh import bank_block_symbols
+            cfg = modcod.from_pls_code(st["pls_code"])
+            short = cfg.framesize == "short"
+            self._configure(cfg.modcod, short, cfg.pilots,
+                            block_symbols=bank_block_symbols(
+                                self.C, mc=cfg.modcod, short=short,
+                                pilots=cfg.pilots,
+                                frames_total=self._frames_total))
+            self.parsers = [make_bbframe_parser(self.cfg.kbch)
+                            for _ in range(self.C)]
+        self._votes = [collections.deque(v, maxlen=self._vote_n)
+                       for v in st.get("votes",
+                                       [[] for _ in range(self.C)])]
+        self.detected_pls = np.full(self.C, -1, np.int64)
         self._fifos = [np.asarray(f).copy() for f in st["fifos"]]
         self._next_adv = np.asarray(st["next_adv"], np.int64).copy()
         self._expected_start = np.asarray(

@@ -12,24 +12,23 @@ ns = hi*2^(6-k) + lo, the predecessor of ns under fused input j is
 prev = lo*2^k + j.  Store the path metrics in DIGIT-SWAPPED order
 stored[j*2^(6-k) + lo] = pm[lo*2^k + j]; then
 
-  - candidate expansion = pltpu.repeat(stored, 2^k) (rows (j, lo, hi)),
-    a pure sublane replication — no gather;
-  - branch metrics = one [64*2^k, 2k] x [2k, B] MXU matmul against a
-    statically (j, lo, hi)-reordered sign table;
+  - candidate expansion (each stored row replicated 2^k times, rows
+    ordered (j, lo, hi)) plus the branch metrics is ONE MXU matmul of
+    a constant [512, 72] matrix against [stored_pm; r] — no gather
+    (TPU sublane gathers serialize; pltpu.repeat only tiles);
   - the max-reduction over j is k contiguous-HALF folds (j is the
     major digit) — static 8-aligned slices, no strided access;
   - the fold output lands in (lo, hi) row order, which at k == 3
-    (and only k == 3: the swap (a,b)->(b,a) must be an involution on
-    equal 3-bit digits) IS the digit-swapped storage order the next
-    step needs.  Zero per-step relayout, by construction.
+    (and only k == 3: the digit swap (a,b)->(b,a) must relate equal
+    3-bit digits) IS the digit-swapped storage order the next step
+    needs.  Zero per-step relayout, by construction.
 
 Traceback mirrors it in NATURAL state order: expanding the one-hot
-state vector with repeat over candidate j and summing over hi (again
-the major digit -> contiguous folds) yields the predecessor one-hot
-directly in natural order.  Decisions are bridged from the fold's
-(lo, hi) order to natural order by one 64x64 permutation-matrix
-matmul per step (MXU, trivial) — a fixed row permutation as a matmul
-instead of a sublane shuffle, because TPU sublane gathers serialize.
+state vector over candidate j (rows (s, j)) and summing over hi (the
+major digit -> contiguous folds) yields the predecessor one-hot
+directly in natural order.  The fold-order -> natural-order decision
+permutation is folded into the traceback's expansion matrix (RepP),
+keeping the forward critical path free of it.
 
 The reference decodes this code with a one-step-at-a-time SSE ACS
 kernel over 8192-bit blocks (cc_decoder.cpp:56-92, viterbi_all.cpp:
@@ -46,31 +45,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..spec import dvbs_fec
 from .viterbi import _trellis_k, N_STATES
 
 K = 3                 # radix-8: the self-consistent-layout radix
 R = 1 << K            # 8 fused inputs per step
-BT = 128              # segments per grid step (one f32 lane tile)
 
 
 @functools.lru_cache()
 def _tables_k3():
-    """(M_fwd [512, 72], Rep [512, 64], P [64, 64], Bm [8, 64]) f32.
+    """(M_fwd [512, 72], Rep [512, 64], RepP [512, 64], Bm [8, 64]) f32.
 
     M_fwd fuses the candidate expansion with the branch metrics: row
     L = (j, lo, hi) has a 1 at column (j*8 + lo) — the digit-swapped
     stored-pm row of predecessor lo*8 + j — and the expected +-1
     outputs (earliest (X, Y) first) of the branch prev -> ns
     (ns = hi*8 + lo) in columns 64:70, so one MXU matmul of M_fwd
-    against [stored_pm; r] yields all 512 candidates.  (pltpu.repeat
-    TILES copies rather than replicating rows, so the sublane
-    element-repeat is expressed as a matmul instead.)  Rep is the
-    plain element-repeat matrix (row s*8+j -> column s) used by the
-    traceback.  P is the digit-swap permutation (row ns = hi*8+lo
-    picks fold-output row lo*8+hi).  Bm[i, s] = bit i (earliest-first)
-    of s's top-3 'hi' digits — the k fused input bits of the step that
-    ENTERED state s.
+    against [stored_pm; r] yields all 512 candidates.  Rep is the
+    element-repeat matrix (row s*8+j -> column s); RepP = Rep @ P
+    where P is the digit-swap permutation (natural row ns = hi*8+lo
+    from fold-output row lo*8+hi) — the traceback reads the forward's
+    raw fold-order decisions through RepP, so the forward never pays
+    the permutation.  Bm[i, s] = bit i (earliest-first) of s's top-3
+    'hi' digits — the k fused input bits of the step that ENTERED
+    state s.
     """
     sign, bits_hi = _trellis_k(K)            # sign [64, 8, 6]
     M_fwd = np.zeros((N_STATES * R, N_STATES + R), np.float32)
@@ -93,22 +90,34 @@ def _tables_k3():
     for s in range(N_STATES):
         for i in range(K):
             Bm[i, s] = (s >> (K + i)) & 1
-    return M_fwd, Rep, P, Bm
+    return M_fwd, Rep, Rep @ P, Bm
 
 
-def _kernel(r_ref, m_ref, rep_ref, p_ref, bm_ref, bits_ref, decs, *,
-            nsteps):
+def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
+            nsteps, expand):
     B = r_ref.shape[3]
     # traceback expansion rows are (state s, candidate j) = s*8 + j
     # (int32 iota then cast: Mosaic's tpu.iota is integer-only)
     jiota = (jax.lax.broadcasted_iota(
         jnp.int32, (N_STATES * R, B), 0) % R).astype(jnp.float32)
 
+    def rep8(x):
+        # sublane element-repeat via broadcast+reshape (lane dim fixed)
+        return jnp.broadcast_to(x[:, None, :], (N_STATES, R, B)
+                                ).reshape(N_STATES * R, B)
+
     def fwd(t, pm):
         r = r_ref[0, t]                                    # [8, B]
-        v = jnp.concatenate([pm, r], axis=0)               # [72, B]
-        cand = jnp.dot(m_ref[:], v,
-                       preferred_element_type=jnp.float32)  # rows (j,lo,hi)
+        if expand == "matmul":
+            v = jnp.concatenate([pm, r], axis=0)           # [72, B]
+            cand = jnp.dot(m_ref[:], v,
+                           preferred_element_type=jnp.float32)
+        else:
+            # branch metrics off the critical chain (depend on r only);
+            # the pm-dependent chain is repeat + add + folds
+            bm = jnp.dot(m_ref[:, N_STATES:], r,
+                         preferred_element_type=jnp.float32)
+            cand = rep8(pm) + bm                           # rows (j,lo,hi)
         a, b = cand[0:256], cand[256:512]
         w = b > a
         c = jnp.where(w, b, a)
@@ -123,10 +132,9 @@ def _kernel(r_ref, m_ref, rep_ref, p_ref, bm_ref, bits_ref, decs, *,
         w = b > a
         c = jnp.where(w, b, a)                             # rows (lo,hi)
         idx = jnp.where(w, ib + 1.0, ia)
-        # decisions to NATURAL state order via the swap-perm matmul
-        dec_nat = jnp.dot(p_ref[:], idx,
-                          preferred_element_type=jnp.float32)
-        decs[pl.ds(t * N_STATES, N_STATES), :] = dec_nat.astype(jnp.int8)
+        # decisions stored RAW in fold order (lo, hi); the traceback's
+        # RepP expansion performs the natural-order permutation
+        decs[pl.ds(t * N_STATES, N_STATES), :] = idx.astype(jnp.int8)
         return c                                           # next stored pm
 
     pm0 = jnp.zeros((N_STATES, B), jnp.float32)
@@ -145,8 +153,12 @@ def _kernel(r_ref, m_ref, rep_ref, p_ref, bm_ref, bits_ref, decs, *,
                                  preferred_element_type=jnp.float32)
         dec = decs[pl.ds(t * N_STATES, N_STATES), :].astype(jnp.float32)
         # rows (s, rep j): keep the branch whose decision matches j
-        ohx = jnp.dot(rep_ref[:], oh, preferred_element_type=jnp.float32)
-        decx = jnp.dot(rep_ref[:], dec,
+        if expand == "matmul":
+            ohx = jnp.dot(rep_ref[:], oh,
+                          preferred_element_type=jnp.float32)
+        else:
+            ohx = rep8(oh)
+        decx = jnp.dot(repp_ref[:], dec,
                        preferred_element_type=jnp.float32)
         x = ohx * (decx == jiota).astype(jnp.float32)
         # sum over hi (major digit of s) -> rows (lo, j) = natural
@@ -158,62 +170,68 @@ def _kernel(r_ref, m_ref, rep_ref, p_ref, bm_ref, bits_ref, decs, *,
     jax.lax.fori_loop(0, nsteps, tb, oh0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_segments_pallas(llrs: jax.Array, interpret: bool = False
+@functools.partial(jax.jit, static_argnames=("interpret", "bt", "expand"))
+def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
+                           bt: int = 256, expand: str = "matmul"
                            ) -> jax.Array:
     """llrs [B, T, 2] float (positive = bit 0) -> bits [B, T] uint8.
 
     Drop-in for ops/viterbi.decode_segments at bank scale.  B pads to a
-    multiple of 128 (lane tile), T to a multiple of 3 with zero-LLR
-    (erasure) steps — appended zeros never change which path wins, and
-    traceback through them follows the surviving path, exactly as the
-    XLA version's padding argument.  Traceback starts from state 0
-    rather than the argmax end state; callers consume only the segment
-    cores, where every start state's traceback has merged onto the
-    survivor path (wings >= 15 constraint lengths).
+    multiple of `bt` lanes (grid-step batch width), T to a multiple of
+    3 with zero-LLR (erasure) steps — appended zeros never change which
+    path wins, and traceback through them follows the surviving path,
+    exactly as the XLA version's padding argument.  Traceback starts
+    from state 0 rather than the argmax end state; callers consume only
+    the segment cores, where every start state's traceback has merged
+    onto the survivor path (wings >= 15 constraint lengths).
+
+    bt/expand are measured knobs (tools/measure_vit_pallas_r4.py):
+    bt=256 halves the number of sequential grid x loop iterations;
+    expand="reshape" moves the pm expansion off the MXU (broadcast+
+    reshape) leaving only VPU work on the recursion's critical path.
     """
-    M_fwd, Rep, P, Bm = _tables_k3()
+    M_fwd, Rep, RepP, Bm = _tables_k3()
     B, T, _ = llrs.shape
     Tk = -(-T // K) * K
     nsteps = Tk // K
-    Bp = -(-B // BT) * BT
-    nb = Bp // BT
+    Bp = -(-B // bt) * bt
+    nb = Bp // bt
     x = jnp.zeros((Bp, Tk, 2), jnp.float32)
     x = x.at[:B, :T].set(llrs.astype(jnp.float32))
-    # [Bp, nsteps, 6] -> [nb, nsteps, 8, BT] (step-major, batch on lanes)
-    r = x.reshape(nb, BT, nsteps, 2 * K).transpose(0, 2, 3, 1)
+    # [Bp, nsteps, 6] -> [nb, nsteps, 8, bt] (step-major, batch on lanes)
+    r = x.reshape(nb, bt, nsteps, 2 * K).transpose(0, 2, 3, 1)
     r = jnp.pad(r, ((0, 0), (0, 0), (0, 2), (0, 0)))
 
-    kern = functools.partial(_kernel, nsteps=nsteps)
+    kern = functools.partial(_kernel, nsteps=nsteps, expand=expand)
     bits = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, nsteps, R, BT), lambda b: (b, 0, 0, 0),
+                pl.BlockSpec((1, nsteps, R, bt), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((N_STATES * R, N_STATES + R),
                              lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((N_STATES * R, N_STATES), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_STATES, N_STATES), lambda b: (0, 0),
+                pl.BlockSpec((N_STATES * R, N_STATES), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((R, N_STATES), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, nsteps, R, BT),
+            out_specs=pl.BlockSpec((1, nsteps, R, bt),
                                    lambda b: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((nsteps * N_STATES, BT), jnp.int8),
+                pltpu.VMEM((nsteps * N_STATES, bt), jnp.int8),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, nsteps, R, BT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, nsteps, R, bt), jnp.float32),
         interpret=interpret,
-    )(r, jnp.asarray(M_fwd), jnp.asarray(Rep), jnp.asarray(P),
+    )(r, jnp.asarray(M_fwd), jnp.asarray(Rep), jnp.asarray(RepP),
       jnp.asarray(Bm))
 
-    # [nb, nsteps, 8, BT] -> [Bp, Tk]; rows 0:3 are the k bits
+    # [nb, nsteps, 8, bt] -> [Bp, Tk]; rows 0:3 are the k bits
     out = bits[:, :, :K, :].transpose(0, 3, 1, 2).reshape(Bp, Tk)
     return (out[:B, :T] > 0.5).astype(jnp.uint8)
