@@ -245,6 +245,8 @@ class DVBSReceiver:
         TB = min(TEST_BITS, n_pairs)
         rot = self.rotation
         front = self._front
+        from ..ops.viterbi_pallas import select_decoder
+        decode_segments = select_decoder()
 
         @jax.jit
         def chain(ri, hints, carry):
@@ -263,7 +265,7 @@ class DVBSReceiver:
             segs = jnp.stack([jax.lax.slice(
                 padded, (i * core, 0), (i * core + core + 2 * wing, 2))
                 for i in range(B)])
-            bits_seg = viterbi.decode_segments(segs)
+            bits_seg = decode_segments(segs)
             bits = bits_seg[:, wing:wing + core].reshape(-1)[:n_pairs]
             # re-encode BER over the first TB pairs (start state 0, the
             # same approximation as the host watchdog)

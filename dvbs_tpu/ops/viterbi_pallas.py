@@ -170,9 +170,24 @@ def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
     jax.lax.fori_loop(0, nsteps, tb, oh0)
 
 
+def select_decoder(impl: str = "auto"):
+    """Resolve "auto"/"xla"/"pallas" to a decode_segments callable at
+    program-BUILD time: the Pallas kernel on a real TPU backend, the
+    XLA lax.scan decoder on CPU (where Mosaic cannot compile and
+    interpret mode would be ~100x slower than XLA)."""
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        return decode_segments_pallas
+    if impl != "xla":
+        raise ValueError(f"unknown viterbi impl {impl!r}")
+    from .viterbi import decode_segments
+    return decode_segments
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "bt", "expand"))
 def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
-                           bt: int = 256, expand: str = "matmul"
+                           bt: int = 512, expand: str = "matmul"
                            ) -> jax.Array:
     """llrs [B, T, 2] float (positive = bit 0) -> bits [B, T] uint8.
 
@@ -194,6 +209,7 @@ def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
     B, T, _ = llrs.shape
     Tk = -(-T // K) * K
     nsteps = Tk // K
+    bt = min(bt, -(-B // 128) * 128)   # don't pad small batches to bt
     Bp = -(-B // bt) * bt
     nb = Bp // bt
     x = jnp.zeros((Bp, Tk, 2), jnp.float32)

@@ -67,7 +67,8 @@ def unpack_cs4_host(packed: np.ndarray) -> np.ndarray:
 
 def build_dvbs_bank(n_carriers: int, rate: str = "1/2",
                     block_samples: int = 1 << 17, core: int = 512,
-                    wing: int = 96, ingest: str = "cs4"):
+                    wing: int = 96, ingest: str = "cs4",
+                    viterbi_impl: str = "auto"):
     """Returns (step, example). step(samples) -> dict(bits [C, nb] uint8
     packed decoded bits, ber [C] float32 re-encode BER, n_pairs int).
 
@@ -78,6 +79,8 @@ def build_dvbs_bank(n_carriers: int, rate: str = "1/2",
     """
     if ingest not in ("cs4", "f16"):
         raise ValueError(f"unknown ingest format {ingest!r}")
+    from ..ops.viterbi_pallas import select_decoder
+    decode_segments = select_decoder(viterbi_impl)
     C, n = n_carriers, block_samples
     px, py = dvbs_fec.PUNCTURE[rate]
     p = len(px)
@@ -148,7 +151,7 @@ def build_dvbs_bank(n_carriers: int, rate: str = "1/2",
                 padded, (0, i * core, 0),
                 (C, i * core + core + 2 * wing, 2))
                 for i in range(B)], axis=1)           # [C, B, T, 2]
-            bits_seg = viterbi.decode_segments(
+            bits_seg = decode_segments(
                 segs.reshape(C * B, core + 2 * wing, 2))
             bits = bits_seg.reshape(C, B, -1)[:, :, wing:wing + core] \
                 .reshape(C, -1)[:, :n_pairs]
@@ -272,7 +275,8 @@ def stream_bank_geometry(rate: str, block_samples: int, wing: int = 96,
 
 def build_dvbs_stream_bank(n_carriers: int, rate: str = "1/2",
                            block_samples: int = 1 << 17, core: int = 512,
-                           wing: int = 96, ingest: str = "cs4"):
+                           wing: int = 96, ingest: str = "cs4",
+                           viterbi_impl: str = "auto"):
     """Steady-state streaming bank step: ONE device program, all
     carriers, hint continuity, dynamic rotation, overlap emission.
 
@@ -283,6 +287,8 @@ def build_dvbs_stream_bank(n_carriers: int, rate: str = "1/2",
     """
     if ingest not in ("cs4", "f16"):
         raise ValueError(f"unknown ingest format {ingest!r}")
+    from ..ops.viterbi_pallas import select_decoder
+    decode_segments = select_decoder(viterbi_impl)
     C, n = n_carriers, block_samples
     geom = stream_bank_geometry(rate, n, wing=wing)
     px, py = dvbs_fec.PUNCTURE[rate]
@@ -314,7 +320,7 @@ def build_dvbs_stream_bank(n_carriers: int, rate: str = "1/2",
         segs = jnp.stack([jax.lax.slice(
             padded, (0, i * core, 0), (C, i * core + core + 2 * wing, 2))
             for i in range(B)], axis=1)
-        bits_seg = viterbi.decode_segments(
+        bits_seg = decode_segments(
             segs.reshape(C * B, core + 2 * wing, 2))
         bits = bits_seg.reshape(C, B, -1)[:, :, wing:wing + core] \
             .reshape(C, -1)[:, :n_pairs]
@@ -369,14 +375,16 @@ class DVBSBankStream:
 
     def __init__(self, n_carriers: int, rate: str = "1/2",
                  block_samples: int = 1 << 17, ingest: str = "f16",
-                 native_tail: bool | None = None, core: int = 512):
+                 native_tail: bool | None = None, core: int = 512,
+                 viterbi_impl: str = "auto"):
         self.C = n_carriers
         self.rate = rate
         self.n = block_samples
         self.ingest = ingest
         self.step, _, self.geom = build_dvbs_stream_bank(
             n_carriers, rate=rate, block_samples=block_samples,
-            core=core, ingest="cs4" if ingest == "cs4" else "f16")
+            core=core, ingest="cs4" if ingest == "cs4" else "f16",
+            viterbi_impl=viterbi_impl)
         self._fifos = [np.zeros(0, np.complex64) for _ in range(n_carriers)]
         self._hints = np.zeros((n_carriers, 6), np.float32)
         self._hints[:, 4] = 1.0                     # first

@@ -59,7 +59,7 @@ def test_multi_tile_padding_and_erasures():
     llrs[:, ::3, 1] = 0.0                    # erasures survive decode
     ref = np.asarray(viterbi.decode_segments(jnp.asarray(llrs)))
     got = np.asarray(viterbi_pallas.decode_segments_pallas(
-        jnp.asarray(llrs), interpret=True))
+        jnp.asarray(llrs), interpret=True, bt=128))
     core = slice(wing, T - wing)
     assert (got[:, core] == ref[:, core]).all()
     assert (got[:, core] == truth[:, core]).all()
