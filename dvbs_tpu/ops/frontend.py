@@ -447,7 +447,26 @@ _FARROW_DEG = 9            # per-tap polynomial degree
 _FARROW_LO, _FARROW_HI = 3.3, 4.7   # fitted band d = (g - r) + 4
 # (band = 4 + mu with mu in [-0.5, 0.5] + in-tile drift 0.13 + slack)
 _TILE_SYM = 256            # symbols per barrel tile (512 samples)
-_SHIFT_BITS = 10           # integer drift range: r + bias in [0, 1024)
+_SHIFT_BITS = 10           # MAX integer drift range: r + bias in [0, 1024)
+
+
+def _shift_bits_for(n_symbols: int) -> int:
+    """Barrel stages actually needed for a block of n_symbols.
+
+    The integer delay r is bounded by the true drift the timing chain
+    can produce: |tau| <= ~1.5 symbols (mod-1 estimate + hint-carry
+    re-centering keeps the carried tau within +-0.5, dvbs_bank.py:509)
+    plus the in-block SCO accumulation n_symbols * _MAX_SCO symbols,
+    all times 2 samples/symbol, plus tile-granularity/Farrow slack.
+    Sizing the barrel to this bound instead of the fixed 10-bit range
+    removes the top stages AND their padding columns — each saved bit
+    cuts one full [nt, width] masked pass and halves the extra width
+    (the stage traffic that dominates the timing stage, PROFILE_r4.md).
+    Inputs whose drift exceeds the bound degrade exactly as before
+    (rb is clipped; the quality gates reject those tiles' frames).
+    """
+    need = int(2 * (1.5 + n_symbols * _MAX_SCO)) + 8
+    return max(6, min(_SHIFT_BITS, need.bit_length() + 1))
 
 
 @functools.lru_cache()
@@ -500,7 +519,8 @@ def resample_windowed(y2: jax.Array, t: jax.Array,
     Sp = nt * TS
     coef_np, mid, halfr = _farrow_coeffs()
     coef = jnp.asarray(coef_np)
-    bias = 1 << (_SHIFT_BITS - 1)
+    shift_bits = _shift_bits_for(S)
+    bias = 1 << (shift_bits - 1)
     k = jnp.arange(Sp, dtype=t.dtype)
     tp = jnp.pad(t, (0, Sp - S), mode="edge") if Sp != S else t
     g = tp - 2 * k                                   # delay vs nominal
@@ -532,7 +552,7 @@ def resample_windowed(y2: jax.Array, t: jax.Array,
         covered += 2 * TS
     rows = jnp.concatenate(chunks, axis=1)             # [nt, width]
     # barrel shift: drop rb columns from the left, log2 stages
-    for b in reversed(range(_SHIFT_BITS)):
+    for b in reversed(range(shift_bits)):
         step = 1 << b
         bit = ((rb >> b) & 1).astype(bool)[:, None]
         w0 = rows.shape[1] - step

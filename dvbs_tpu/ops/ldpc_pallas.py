@@ -141,8 +141,13 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         """[PAD, B] -> [PAD, B] whose rows 0:360 are the cyclic shift
         of x[0:360] by dynamic s in [0, 360): a static sub-8 shift
         (lax.switch over 8 concatenations) composed with an 8-aligned
-        dynamic-start slice of a tripled buffer — Mosaic requires
-        dynamic sublane offsets to be provably 8-aligned."""
+        dynamic-start slice of a DOUBLED buffer — Mosaic requires
+        dynamic sublane offsets to be provably 8-aligned.  The slice
+        is PAD=384 rows but only rows 0:360 of the result carry edges,
+        so the buffer needs just 2*360 written rows plus 24 stale tail
+        rows (start = 360 - s_hi <= 360, end <= 744): a third copy
+        would only feed the don't-care padding rows — writing it cost
+        1/3 of the roll traffic for nothing."""
         x0 = x[0:LANES, :]
         s_lo = jax.lax.rem(s, 8)
         s_hi = s - s_lo
@@ -155,7 +160,7 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
                                         x0[:LANES - k, :]], axis=0)
             return f
         x1 = jax.lax.switch(s_lo, [mk(k) for k in range(8)])
-        roll_buf[0:3 * LANES, :] = jnp.concatenate([x1, x1, x1], axis=0)
+        roll_buf[0:2 * LANES, :] = jnp.concatenate([x1, x1], axis=0)
         start = pl.multiple_of(LANES - s_hi, 8)
         return roll_buf[pl.ds(start, PAD), :]
 
@@ -324,7 +329,8 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
             ],
             scratch_shapes=[
                 pltpu.VMEM((Dmax, PAD, B), jnp.int32),       # vstash
-                pltpu.VMEM((3 * LANES + 8, B), jnp.int32),   # roll_buf
+                pltpu.VMEM((2 * LANES + PAD - LANES, B),
+                           jnp.int32),                       # roll_buf
             ],
         ),
         out_shape=[
