@@ -558,12 +558,19 @@ def resample_windowed(y2: jax.Array, t: jax.Array,
         w0 = rows.shape[1] - step
         rows = jnp.where(bit, rows[:, step:], rows[:, :w0])
     # rows now [nt, 2*TS + TAPS - 1 + ...]: column (2j + c) = the c-th
-    # tap sample of symbol j
+    # tap sample of symbol j.  Split the even/odd sample planes ONCE
+    # (two stride-2 relayouts) so each tap reads a CONTIGUOUS [nt, TS]
+    # slice — the previous per-tap stride-2 slices were 10 strided
+    # relayout passes over the full rows array (strided lane slices
+    # are the same pattern that sank the bf16 barrel, PROFILE_r4.md)
+    rows_e = rows[:, 0::2]
+    rows_o = rows[:, 1::2]
     out = jnp.zeros((nt, TS), y2.dtype)
     for ci in range(_FARROW_TAPS):
         tap = jnp.full((nt, TS), coef_np[ci, 0])
         for dg in range(1, _FARROW_DEG + 1):
             tap = tap * u + coef[ci, dg]
-        out = out + tap * jax.lax.slice(
-            rows, (0, ci), (nt, ci + 2 * TS), (1, 2))
+        plane = rows_e if ci % 2 == 0 else rows_o
+        out = out + tap * jax.lax.slice(plane, (0, ci // 2),
+                                        (nt, ci // 2 + TS))
     return out.reshape(Sp)[:S].astype(jnp.complex64)
