@@ -169,15 +169,15 @@ def bench_dvbs(jax, jnp):
     return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms, host_msps
 
 
-def bench_8psk_pilots(jax, jnp):
-    """BASELINE config 3 on chip: 8PSK 3/4 with pilots, fused bank,
-    contiguous TS gate. Returns (msps, ms)."""
+def bench_hiord_bank(jax, jnp, mc, snr_db, label):
+    """Higher-order-constellation bank on chip (BASELINE config 3 and the
+    16/32APSK coverage configs): fused pilots bank, contiguous TS gate.
+    Returns (msps, ms)."""
     from dvbs_tpu.spec import modcod
     from dvbs_tpu.parallel.mesh import build_carrier_bank, bank_block_symbols
     from dvbs_tpu.io.native import NativeTSParser
     from dvbs_tpu.ops import frontend
 
-    mc = 14
     cfg = modcod.get_config(mc, short=False, pilots=True)
     BLOCK = bank_block_symbols(N_CARRIERS, mc=mc, short=False, pilots=True)
     n = 2 * BLOCK
@@ -186,7 +186,7 @@ def bench_8psk_pilots(jax, jnp):
     for c in range(N_CARRIERS):
         y, sent = s2_carrier_signal(cfg, 700, 110 + 3 * c,
                                     (0.006 + 0.002 * c) * np.pi,
-                                    0.25 + 0.1 * c, snr_db=9.5)
+                                    0.25 + 0.1 * c, snr_db=snr_db)
         assert len(y) >= n
         sigs.append(frontend.pack_cs4(y[:n]))
         sents.append(sent)
@@ -197,13 +197,13 @@ def bench_8psk_pilots(jax, jnp):
     out = step(jnp.asarray(samples))
     h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
     assert h["ldpc_ok"].all(), \
-        f"8psk pilots bank must decode: {h['ldpc_ok'].sum()}/128"
+        f"{label} pilots bank must decode: {h['ldpc_ok'].sum()}/128"
     assert not h["bch_bad"].any()
     F = h["quality"].shape[1]
     kbb = np.ascontiguousarray(h["kbch_bytes"].reshape(N_CARRIERS, F, kb))
     for c in range(N_CARRIERS):
         got = NativeTSParser(cfg.kbch).feed(kbb[c])
-        contiguous_packets(got, sents[c], f"8psk c{c}")
+        contiguous_packets(got, sents[c], f"{label} c{c}")
     dev_in = jax.device_put(jnp.asarray(samples))
     ms = time_step(jax, step, dev_in, "ldpc_ok", reps=10)
     return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms
@@ -335,8 +335,11 @@ def main():
     assert gse_found >= gse_total - N_CARRIERS * 2, \
         f"GSE: only {gse_found}/{gse_total} PDUs recovered"
 
-    # ---- 8PSK 3/4 + pilots bank (BASELINE config 3) on chip
-    psk_msps, psk_ms = bench_8psk_pilots(jax, jnp)
+    # ---- higher-order pilot banks on chip (BASELINE config 3 +
+    # the 16/32APSK coverage configs, one field pair per family)
+    psk_msps, psk_ms = bench_hiord_bank(jax, jnp, 14, 9.5, "8psk34")
+    a16_msps, a16_ms = bench_hiord_bank(jax, jnp, 18, 11.0, "16apsk23")
+    a32_msps, a32_ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34")
 
     # ---- DVB-S streaming bank (REFBENCH viterbi_12_synced per-core bar)
     dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs(jax, jnp)
@@ -353,6 +356,8 @@ def main():
         "ingest_mb_per_s_sustained": round(ingest_mb_per_s, 1),
         "s2_8psk34_pilots_device_msamples_per_s": round(psk_msps, 2),
         "s2_8psk34_pilots_block_ms": round(psk_ms, 2),
+        "s2_16apsk23_pilots_device_msamples_per_s": round(a16_msps, 2),
+        "s2_32apsk34_pilots_device_msamples_per_s": round(a32_msps, 2),
         "gse_gre_pdus_ok": f"{gse_found}/{gse_total}",
         "dvbs_device_msamples_per_s": round(dvbs_msps, 2),
         "dvbs_block_ms": round(dvbs_ms, 2),
