@@ -119,7 +119,10 @@ def bench_dvbs(jax, jnp):
     from dvbs_tpu.tx import dvbs_mod, channel
     from dvbs_tpu.ops import frontend
 
-    n = 2 * (1 << 16)
+    # 2^18 samples/carrier/block: the Pallas ACS removed the old
+    # bigger-blocks-don't-help ceiling (block sweep: 275.6 -> 335.8 ->
+    # 443.5 Msamp/s for 2^16/17/18, tools/measure_dvbs_blocks_r4.py)
+    n = 2 * (1 << 18)
     blocks = 5
     need = (blocks + 1) * n
     sigs, sents = [], []

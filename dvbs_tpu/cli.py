@@ -67,6 +67,11 @@ def main(argv=None):
                          "ZERO extra cost (int8 lanes are 128 wide "
                          "regardless; 8x cheaper per frame than xla "
                          "on chip, PROFILE_r4.md)")
+    ap.add_argument("--viterbi", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="DVB-S ACS decoder: the VMEM-resident Pallas "
+                         "radix-8 kernel (TPU) or the XLA scan; auto "
+                         "picks pallas on a TPU backend")
     ap.add_argument("--state-file", default=None,
                     help="checkpoint/resume: restore stream state from "
                          "this file at startup (if it exists) and write "
@@ -150,7 +155,8 @@ def main(argv=None):
         # carrier gets its own auto-locking stream instead
         from .parallel.dvbs_bank import DVBSBankStream
         bank = DVBSBankStream(C, rate=args.rate,
-                              block_samples=2 * args.block_symbols)
+                              block_samples=2 * args.block_symbols,
+                              viterbi_impl=args.viterbi)
         streams = [bank]
     else:
         streams = [make_stream() for _ in range(C)]

@@ -93,9 +93,10 @@ def _tables_k3():
     return M_fwd, Rep, Rep @ P, Bm
 
 
-def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
-            nsteps, expand):
+def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs,
+            obuf, osem, *, nsteps, expand):
     B = r_ref.shape[3]
+    gb = pl.program_id(0)
     # traceback expansion rows are (state s, candidate j) = s*8 + j
     # (int32 iota then cast: Mosaic's tpu.iota is integer-only)
     jiota = (jax.lax.broadcasted_iota(
@@ -107,7 +108,7 @@ def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
                                 ).reshape(N_STATES * R, B)
 
     def fwd(t, pm):
-        r = r_ref[0, t]                                    # [8, B]
+        r = r_ref[0, t].astype(jnp.float32)                # [8, B]
         if expand == "matmul":
             v = jnp.concatenate([pm, r], axis=0)           # [72, B]
             cand = jnp.dot(m_ref[:], v,
@@ -145,12 +146,25 @@ def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
     oh0 = (jax.lax.broadcasted_iota(jnp.int32, (N_STATES, B), 0) == 0
            ).astype(jnp.float32)
 
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(obuf.at[slot], bits_ref.at[gb, t],
+                                     osem.at[slot])
+
     def tb(i, oh):
         t = nsteps - 1 - i
+        slot = jax.lax.rem(i, 2)
         # the k input bits of step t are the hi digits of the state at
-        # time t+1 — emit BEFORE stepping back
-        bits_ref[0, t] = jnp.dot(bm_ref[:], oh,
-                                 preferred_element_type=jnp.float32)
+        # time t+1 — emit BEFORE stepping back.  bits stream to the
+        # HBM output via a 2-slot DMA staging buffer: keeping the full
+        # [nsteps, 8, B] bits block in VMEM (auto-double-buffered)
+        # overflowed the 16 MB budget next to the decision scratch at
+        # larger grids.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, t + 2).wait()
+        obuf[slot] = jnp.dot(bm_ref[:], oh,
+                             preferred_element_type=jnp.float32)
+        out_dma(slot, t).start()
         dec = decs[pl.ds(t * N_STATES, N_STATES), :].astype(jnp.float32)
         # rows (s, rep j): keep the branch whose decision matches j
         if expand == "matmul":
@@ -168,6 +182,10 @@ def _kernel(r_ref, m_ref, rep_ref, repp_ref, bm_ref, bits_ref, decs, *,
         return x[0:64] + x[64:128]
 
     jax.lax.fori_loop(0, nsteps, tb, oh0)
+    # drain the in-flight output DMAs (steps nsteps-1 and nsteps-2)
+    for k in range(min(2, nsteps)):
+        i = nsteps - 1 - k
+        out_dma(i % 2, nsteps - 1 - i).wait()
 
 
 def select_decoder(impl: str = "auto"):
@@ -214,9 +232,12 @@ def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
     nb = Bp // bt
     x = jnp.zeros((Bp, Tk, 2), jnp.float32)
     x = x.at[:B, :T].set(llrs.astype(jnp.float32))
-    # [Bp, nsteps, 6] -> [nb, nsteps, 8, bt] (step-major, batch on lanes)
+    # [Bp, nsteps, 6] -> [nb, nsteps, 8, bt] (step-major, batch on
+    # lanes); bf16 halves the kernel's input block VMEM — the LLRs are
+    # 4..8-bit quantized channel values, so the 8-bit mantissa is
+    # lossless headroom for 6-term branch-metric sums
     r = x.reshape(nb, bt, nsteps, 2 * K).transpose(0, 2, 3, 1)
-    r = jnp.pad(r, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    r = jnp.pad(r, ((0, 0), (0, 0), (0, 2), (0, 0))).astype(jnp.bfloat16)
 
     kern = functools.partial(_kernel, nsteps=nsteps, expand=expand)
     bits = pl.pallas_call(
@@ -236,11 +257,11 @@ def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
                 pl.BlockSpec((R, N_STATES), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, nsteps, R, bt),
-                                   lambda b: (b, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((nsteps * N_STATES, bt), jnp.int8),
+                pltpu.VMEM((2, R, bt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nb, nsteps, R, bt), jnp.float32),
