@@ -172,7 +172,7 @@ def bench_dvbs(jax, jnp):
     return N_CARRIERS * n / (ms * 1e-3) / 1e6, ms, host_msps
 
 
-def bench_hiord_bank(jax, jnp, mc, snr_db, label):
+def bench_hiord_bank(jax, jnp, mc, snr_db, label, n_iters=12):
     """Higher-order-constellation bank on chip (BASELINE config 3 and the
     16/32APSK coverage configs): fused pilots bank, contiguous TS gate.
     Returns (msps, ms)."""
@@ -196,7 +196,8 @@ def bench_hiord_bank(jax, jnp, mc, snr_db, label):
     samples = np.stack(sigs)
     step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=False,
                                  pilots=True, block_symbols=BLOCK,
-                                 fec="pallas", ingest="cs4")
+                                 fec="pallas", ingest="cs4",
+                                 n_iters=n_iters)
     out = step(jnp.asarray(samples))
     h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
     assert h["ldpc_ok"].all(), \
@@ -342,7 +343,11 @@ def main():
     # the 16/32APSK coverage configs, one field pair per family)
     psk_msps, psk_ms = bench_hiord_bank(jax, jnp, 14, 9.5, "8psk34")
     a16_msps, a16_ms = bench_hiord_bank(jax, jnp, 18, 11.0, "16apsk23")
-    a32_msps, a32_ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34")
+    # 32APSK 3/4 at 14.5 dB runs ~1.5 dB over ideal threshold but under
+    # cs4 4-bit quantization; the trials tail needs more than 12 sweeps
+    # on some seeds — early exit means the budget costs only what's used
+    a32_msps, a32_ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34",
+                                        n_iters=25)
 
     # ---- DVB-S streaming bank (REFBENCH viterbi_12_synced per-core bar)
     dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs(jax, jnp)

@@ -139,16 +139,20 @@ def main(argv=None):
     # all carriers (models/bank_stream.DVBS2BankStream) instead of N
     # independent receivers — the bank is the production path, not a
     # bench construct (the reference runs N plugin instances,
-    # main.cpp:30,129). auto-MODCOD stays per-carrier -> N streams.
+    # main.cpp:30,129). --auto-modcod enables the bank-level vote:
+    # a unanimous new MODCOD rebuilds the shared program once; a
+    # MIXED bouquet (carriers voting differently) is surfaced via
+    # detected_pls — run per-carrier streams for those.
     bank = None
-    if args.mode == "s2" and C > 1 and not args.auto_modcod:
+    if args.mode == "s2" and C > 1:
         from .models.bank_stream import DVBS2BankStream
         from .parallel.mesh import bank_block_symbols
         bank_bs = bank_block_symbols(C, mc=mc, short=short, pilots=pilots) \
             if args.fec == "pallas" else args.block_symbols
         bank = DVBS2BankStream(C, mc=mc, short=short, pilots=pilots,
                                block_symbols=bank_bs, fec=args.fec,
-                               max_ldpc_trials=args.ldpc_trials)
+                               max_ldpc_trials=args.ldpc_trials,
+                               auto_modcod=args.auto_modcod)
         streams = [bank]
     elif args.mode == "s" and C > 1 and args.rate:
         # fused DVB-S bank (shared code rate); without --rate each

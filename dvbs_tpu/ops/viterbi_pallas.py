@@ -228,6 +228,10 @@ def decode_segments_pallas(llrs: jax.Array, interpret: bool = False,
     Tk = -(-T // K) * K
     nsteps = Tk // K
     bt = min(bt, -(-B // 128) * 128)   # don't pad small batches to bt
+    # decision scratch is nsteps*64*bt int8 in VMEM: cap it at ~8 MB so
+    # long segments (big core) narrow the lane width instead of OOMing
+    bt_cap = max(128, (8 << 20) // (nsteps * N_STATES) // 128 * 128)
+    bt = min(bt, bt_cap)
     Bp = -(-B // bt) * bt
     nb = Bp // bt
     x = jnp.zeros((Bp, Tk, 2), jnp.float32)
