@@ -90,7 +90,8 @@ def kernel_tables(table: str):
 
 
 def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
-            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows, lpg):
+            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows, lpg,
+            roll_impl, stash8):
     # one pallas_call = ONE layered sweep; the grid walks the layers in
     # groups of `lpg` (layers per grid step, processed SERIALLY inside
     # the body — identical schedule semantics, ~lpg x fewer grid/DMA
@@ -121,11 +122,12 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
         r = step * lpg + j
         _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
                     bad_out, vstash, roll_buf, r=r, j=j, Dmax=Dmax,
-                    beta=beta)
+                    beta=beta, roll_impl=roll_impl, stash8=stash8)
 
 
 def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
-                bad_out, vstash, roll_buf, *, r, j, Dmax, beta):
+                bad_out, vstash, roll_buf, *, r, j, Dmax, beta,
+                roll_impl, stash8):
     B = post_out.shape[1]
 
     # every elementwise tensor is padded to PAD=384 rows (tile-aligned
@@ -147,7 +149,16 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         so the buffer needs just 2*360 written rows plus 24 stale tail
         rows (start = 360 - s_hi <= 360, end <= 744): a third copy
         would only feed the don't-care padding rows — writing it cost
-        1/3 of the roll traffic for nothing."""
+        1/3 of the roll traffic for nothing.
+
+        roll_impl="prim" instead lowers the whole dynamic 360-row
+        cyclic shift to one pltpu.roll on the [360, B] slice (360 =
+        45 int32 sublane tiles, so the operand is tile-aligned) and
+        refills the 24 don't-care tail rows by concat — no switch, no
+        doubled-buffer traffic."""
+        if roll_impl == "prim":
+            r360 = pltpu.roll(x[0:LANES, :], s, axis=0)
+            return jnp.concatenate([r360, x[LANES:PAD, :]], axis=0)
         x0 = x[0:LANES, :]
         s_lo = jax.lax.rem(s, 8)
         s_hi = s - s_lo
@@ -178,7 +189,8 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         tile = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
         rolled = roll360(tile, s)
         v = rolled - msgs_in[j, e].astype(jnp.int32)
-        vstash[e] = v
+        if not stash8:
+            vstash[e] = v
         a = jnp.abs(v)
         neg = (v < 0).astype(jnp.int32)
         pneg = (rolled < 0).astype(jnp.int32)
@@ -190,6 +202,12 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         a = jnp.where(invalid, big, a)
         neg = jnp.where(invalid, jnp.int32(0), neg)
         pneg = jnp.where(invalid, jnp.int32(0), pneg)
+        if stash8:
+            # pass 2 only consumes sign(v); rows where the masked pass-1
+            # sign differs from raw sign(v) have their message zeroed in
+            # pass 2 anyway, so stashing the masked sign is equivalent —
+            # and an int8 stash carries 4x less VMEM traffic than v
+            vstash[e] = neg.astype(jnp.int8)
         return a, neg, pneg
 
     # entry 0 seeds the running mins (data-tied initial state: Mosaic
@@ -222,8 +240,10 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         g = g_ref[r, e]
         s = s_ref[r, e]
         fl = f_ref[r, e]
-        v = vstash[e]
-        neg = (v < 0).astype(jnp.int32)
+        if stash8:
+            neg = vstash[e].astype(jnp.int32)
+        else:
+            neg = (vstash[e] < 0).astype(jnp.int32)
         excl = jnp.where(am == e, m2, m1)
         # message magnitudes cap at 31 (not 127): the int8 posterior
         # must hold llr + sum of ~3..7 messages without saturating —
@@ -259,11 +279,13 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
 
 @functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
                                              "interpret", "early_exit",
-                                             "syndrome", "lpg"))
+                                             "syndrome", "lpg",
+                                             "roll_impl", "stash8"))
 def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                      beta: int = 1, interpret: bool = False,
                      early_exit: bool = True, syndrome: str = "kernel",
-                     lpg: int | None = None):
+                     lpg: int | None = None, roll_impl: str = "prim",
+                     stash8: bool = False):
     """Layered OMS decode of B=128 frames in one Pallas kernel.
 
     llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
@@ -306,7 +328,7 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     msgs = jnp.zeros((q, Dmax, PAD, B), jnp.int8)
 
     kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows,
-                             lpg=lpg)
+                             lpg=lpg, roll_impl=roll_impl, stash8=stash8)
     sweep = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -328,7 +350,8 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((Dmax, PAD, B), jnp.int32),       # vstash
+                pltpu.VMEM((Dmax, PAD, B),
+                           jnp.int8 if stash8 else jnp.int32),  # vstash
                 pltpu.VMEM((2 * LANES + PAD - LANES, B),
                            jnp.int32),                       # roll_buf
             ],

@@ -211,3 +211,22 @@ def test_cyclic_lane_padding_trials_parity(noisy_case):
         assert tr[lane] == tr[src] and nb[lane] == nb[src]
     assert np.array_equal(h[:F], cw[:F])
     assert (nb[:F] == 0).all()
+
+
+def test_roll_and_stash_variants_bit_exact(noisy_case):
+    """The prim-roll (pltpu.roll) and int8 sign-stash kernel variants
+    are pure lowering changes: every (roll_impl, stash8) combo must
+    produce the identical hard bits / syndromes / trials."""
+    llr, _ = noisy_case
+    ref = None
+    for roll in ("buffer", "prim"):
+        for s8 in (False, True):
+            out = ldpc_pallas.decode_qc_pallas(
+                jnp.asarray(llr), "C4", n_iters=3, interpret=True,
+                early_exit=False, roll_impl=roll, stash8=s8)
+            out = [np.asarray(o) for o in out]
+            if ref is None:
+                ref = out
+                continue
+            for a, b in zip(out, ref):
+                np.testing.assert_array_equal(a, b)
