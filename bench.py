@@ -214,6 +214,46 @@ def bench_hiord_bank(jax, jnp, mc, snr_db, label, n_iters=12):
 
 
 def main():
+    """Fail-open reporting: every config runs inside a gate; a red gate
+    records {name}_ok: false + reason in the JSON line instead of killing
+    the run (round-4 lesson: one secondary assert at bench.py:203 cost the
+    whole round its metrics artifact, VERDICT.md). The single JSON line is
+    ALWAYS printed; the exit code is only a summary bit."""
+    import traceback
+
+    results = {}
+    failures = []
+
+    def gate(name, fn):
+        try:
+            fn()
+            return True
+        except Exception as e:   # noqa: BLE001 — fail-open by design
+            failures.append(name)
+            results[f"{name}_ok"] = False
+            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            traceback.print_exc(file=sys.stderr)
+            return False
+
+    try:
+        _bench_all(results, gate)
+    except Exception as e:       # noqa: BLE001 — even setup failure reports
+        failures.append("setup")
+        results["setup_ok"] = False
+        results["setup_error"] = f"{type(e).__name__}: {e}"[:300]
+        traceback.print_exc(file=sys.stderr)
+
+    results.setdefault("metric", "dvbs2_qpsk12_8carrier_device_throughput")
+    results.setdefault("value", None)
+    results.setdefault("unit", "Msamples/s")
+    results["all_gates_green"] = not failures
+    if failures:
+        results["failed_gates"] = failures
+    print(json.dumps(results))
+    return 0 if not failures else 1
+
+
+def _bench_all(results, gate):
     import jax
     import jax.numpy as jnp
     jnp.arange(8.0).sum().block_until_ready()   # warm the device claim
@@ -260,121 +300,142 @@ def main():
 
     # ---- HEADLINE: device-resident block rate (input already in HBM) —
     # the pure compute rate a PCIe/DMA-ingest deployment sustains
-    samples0 = np.stack([s[:n] for s in sigs])
-    dev_in = jax.device_put(jnp.asarray(samples0))
-    out = step(dev_in)
-    ok = np.asarray(jax.device_get(out["ldpc_ok"]))
-    assert ok.all(), f"bench signal must decode cleanly ({ok.sum()}/128)"
-    assert not np.asarray(jax.device_get(out["bch_bad"])).any()
-    dev_ms = time_step(jax, step, dev_in, "ldpc_ok", reps=10)
-    dev_msps = N_CARRIERS * n / (dev_ms * 1e-3) / 1e6
+    shared = {}
 
-    # ---- host-stage standalone throughput (native C++ TS parse):
-    # proves the host tail sustains (far exceeds) the device rate
-    kbb0 = np.ascontiguousarray(np.asarray(
-        jax.device_get(out["kbch_bytes"])).reshape(N_CARRIERS, F, kb))
-    parsers = [NativeTSParser(cfg.kbch) for _ in range(N_CARRIERS)]
-    for c in range(N_CARRIERS):
-        parsers[c].feed(kbb0[c])
-    t0 = time.time()
-    host_reps = 20
-    for _ in range(host_reps):
+    def g_headline():
+        samples0 = np.stack([s[:n] for s in sigs])
+        dev_in = jax.device_put(jnp.asarray(samples0))
+        out = step(dev_in)
+        ok = np.asarray(jax.device_get(out["ldpc_ok"]))
+        assert ok.all(), f"bench signal must decode cleanly ({ok.sum()}/128)"
+        assert not np.asarray(jax.device_get(out["bch_bad"])).any()
+        dev_ms = time_step(jax, step, dev_in, "ldpc_ok", reps=10)
+        dev_msps = N_CARRIERS * n / (dev_ms * 1e-3) / 1e6
+        shared["out"] = out
+        results["value"] = round(dev_msps, 2)
+        results["vs_baseline"] = round(dev_msps * 1e6 / REF_AGGREGATE, 4)
+        results["device_block_ms"] = round(dev_ms, 2)
+
+    def g_host_stage():
+        # host-stage standalone throughput (native C++ TS parse):
+        # proves the host tail sustains (far exceeds) the device rate
+        kbb0 = np.ascontiguousarray(np.asarray(jax.device_get(
+            shared["out"]["kbch_bytes"])).reshape(N_CARRIERS, F, kb))
+        parsers = [NativeTSParser(cfg.kbch) for _ in range(N_CARRIERS)]
         for c in range(N_CARRIERS):
             parsers[c].feed(kbb0[c])
-    host_msps = N_CARRIERS * n * host_reps / (time.time() - t0) / 1e6
+        t0 = time.time()
+        host_reps = 20
+        for _ in range(host_reps):
+            for c in range(N_CARRIERS):
+                parsers[c].feed(kbb0[c])
+        host_msps = N_CARRIERS * n * host_reps / (time.time() - t0) / 1e6
+        results["host_stage_msamples_per_s"] = round(host_msps, 1)
 
-    # ---- e2e: DVBS2BankStream streaming the continuous signals through
-    # the tunnel (pre-packed cs4 chunks), strict contiguous TS per carrier
-    st_e2e = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
-                             block_symbols=BLOCK, fec="pallas",
-                             ingest="cs4", program=st.program)
-    # slack: the damped advance re-centers the frame grid toward the
-    # block margin, consuming up to ~a frame-length of extra samples
-    # over the run — without it the last block starves by a hair
-    need = n + E2E_BLOCKS * 2 * (F * cfg.plframe_len) + 2 * cfg.plframe_len
-    assert slen >= need, (slen, need)
-    chunk = n // 2
-    outs = [bytearray() for _ in range(N_CARRIERS)]
-    fed = 0
-    t0 = time.time()
-    while fed < need:
-        e = min(fed + chunk, need)
-        for c, o in zip(st_e2e.feed([s[fed:e] for s in sigs]), outs):
+    def g_e2e():
+        # DVBS2BankStream streaming the continuous signals through the
+        # tunnel (pre-packed cs4 chunks), strict contiguous TS per carrier
+        st_e2e = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
+                                 block_symbols=BLOCK, fec="pallas",
+                                 ingest="cs4", program=st.program)
+        # slack: the damped advance re-centers the frame grid toward the
+        # block margin, consuming up to ~a frame-length of extra samples
+        # over the run — without it the last block starves by a hair
+        need = (n + E2E_BLOCKS * 2 * (F * cfg.plframe_len)
+                + 2 * cfg.plframe_len)
+        assert slen >= need, (slen, need)
+        chunk = n // 2
+        outs = [bytearray() for _ in range(N_CARRIERS)]
+        fed = 0
+        t0 = time.time()
+        while fed < need:
+            e = min(fed + chunk, need)
+            for c, o in zip(st_e2e.feed([s[fed:e] for s in sigs]), outs):
+                o.extend(c)
+            fed = e
+        for c, o in zip(st_e2e.flush(), outs):
             o.extend(c)
-        fed = e
-    for c, o in zip(st_e2e.flush(), outs):
-        o.extend(c)
-    dt = time.time() - t0
-    e2e_msps = N_CARRIERS * fed / dt / 1e6
-    ingest_mb_per_s = N_CARRIERS * fed / dt / 1e6   # cs4: 1 B/sample
-    assert (st_e2e.frames_ok == st_e2e.frames_seen).all(), \
-        f"e2e frames lost: {st_e2e.frames_ok} of {st_e2e.frames_seen}"
-    for c in range(N_CARRIERS):
-        npk = contiguous_packets(bytes(outs[c]), sents[c], f"e2e c{c}")
-        want = (E2E_BLOCKS + 1) * F * (kb // 188) - 2
-        assert npk >= want, f"e2e c{c}: {npk} pkts < {want}" 
+        dt = time.time() - t0
+        e2e_msps = N_CARRIERS * fed / dt / 1e6
+        assert (st_e2e.frames_ok == st_e2e.frames_seen).all(), \
+            f"e2e frames lost: {st_e2e.frames_ok} of {st_e2e.frames_seen}"
+        for c in range(N_CARRIERS):
+            npk = contiguous_packets(bytes(outs[c]), sents[c], f"e2e c{c}")
+            want = (E2E_BLOCKS + 1) * F * (kb // 188) - 2
+            assert npk >= want, f"e2e c{c}: {npk} pkts < {want}"
+        results["e2e_ts_msamples_per_s"] = round(e2e_msps, 4)
+        results["e2e_vs_baseline"] = round(e2e_msps * 1e6 / REF_AGGREGATE, 4)
+        # cs4: 1 B/sample
+        results["ingest_mb_per_s_sustained"] = round(e2e_msps, 1)
 
-    # ---- GSE -> GRE gate through the SAME compiled program
-    gse_sigs, gse_pdus = [], []
-    for c in range(N_CARRIERS):
-        y, pdus = s2_carrier_signal(cfg, 30, 210 + 3 * c,
-                                    (0.006 + 0.002 * c) * np.pi,
-                                    0.3 + 0.07 * c, payload="gse",
-                                    snr_db=6.0)
-        reps = -(-int(1.6 * n) // len(y))
-        gse_sigs.append(frontend.pack_cs4(np.tile(y, reps))[:2 * n])
-        gse_pdus.append(pdus)
-    st_gse = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
-                             block_symbols=BLOCK, fec="pallas",
-                             ingest="cs4", program=st.program)
-    gouts = st_gse.feed(gse_sigs)
-    for c, extra in enumerate(st_gse.flush()):
-        gouts[c] = gouts[c] + extra
-    gse_found = 0
-    for c in range(N_CARRIERS):
-        blob = bytes(gouts[c])
-        gse_found += sum(1 for p in gse_pdus[c]
-                         if (b"\x00\x00\x08\x00" + p) in blob)
-    gse_total = sum(len(p) for p in gse_pdus)
-    assert gse_found >= gse_total - N_CARRIERS * 2, \
-        f"GSE: only {gse_found}/{gse_total} PDUs recovered"
+    def g_gse():
+        # GSE -> GRE gate through the SAME compiled program
+        gse_sigs, gse_pdus = [], []
+        for c in range(N_CARRIERS):
+            y, pdus = s2_carrier_signal(cfg, 30, 210 + 3 * c,
+                                        (0.006 + 0.002 * c) * np.pi,
+                                        0.3 + 0.07 * c, payload="gse",
+                                        snr_db=6.0)
+            reps = -(-int(1.6 * n) // len(y))
+            gse_sigs.append(frontend.pack_cs4(np.tile(y, reps))[:2 * n])
+            gse_pdus.append(pdus)
+        st_gse = DVBS2BankStream(N_CARRIERS, mc=mc, short=short,
+                                 block_symbols=BLOCK, fec="pallas",
+                                 ingest="cs4", program=st.program)
+        gouts = st_gse.feed(gse_sigs)
+        for c, extra in enumerate(st_gse.flush()):
+            gouts[c] = gouts[c] + extra
+        gse_found = 0
+        for c in range(N_CARRIERS):
+            blob = bytes(gouts[c])
+            gse_found += sum(1 for p in gse_pdus[c]
+                             if (b"\x00\x00\x08\x00" + p) in blob)
+        gse_total = sum(len(p) for p in gse_pdus)
+        results["gse_gre_pdus_ok"] = f"{gse_found}/{gse_total}"
+        assert gse_found >= gse_total - N_CARRIERS * 2, \
+            f"GSE: only {gse_found}/{gse_total} PDUs recovered"
 
-    # ---- higher-order pilot banks on chip (BASELINE config 3 +
-    # the 16/32APSK coverage configs, one field pair per family)
-    psk_msps, psk_ms = bench_hiord_bank(jax, jnp, 14, 9.5, "8psk34")
-    a16_msps, a16_ms = bench_hiord_bank(jax, jnp, 18, 11.0, "16apsk23")
-    # 32APSK 3/4 at 14.5 dB runs ~1.5 dB over ideal threshold but under
-    # cs4 4-bit quantization; the trials tail needs more than 12 sweeps
-    # on some seeds — early exit means the budget costs only what's used
-    a32_msps, a32_ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34",
-                                        n_iters=25)
+    def g_8psk():
+        msps, ms = bench_hiord_bank(jax, jnp, 14, 9.5, "8psk34")
+        results["s2_8psk34_pilots_device_msamples_per_s"] = round(msps, 2)
+        results["s2_8psk34_pilots_block_ms"] = round(ms, 2)
 
-    # ---- DVB-S streaming bank (REFBENCH viterbi_12_synced per-core bar)
-    dvbs_msps, dvbs_ms, dvbs_host_msps = bench_dvbs(jax, jnp)
+    def g_16apsk():
+        msps, ms = bench_hiord_bank(jax, jnp, 18, 11.0, "16apsk23")
+        results["s2_16apsk23_pilots_device_msamples_per_s"] = round(msps, 2)
 
-    print(json.dumps({
-        "metric": "dvbs2_qpsk12_8carrier_device_throughput",
-        "value": round(dev_msps, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(dev_msps * 1e6 / REF_AGGREGATE, 4),
-        "device_block_ms": round(dev_ms, 2),
-        "host_stage_msamples_per_s": round(host_msps, 1),
-        "e2e_ts_msamples_per_s": round(e2e_msps, 4),
-        "e2e_vs_baseline": round(e2e_msps * 1e6 / REF_AGGREGATE, 4),
-        "ingest_mb_per_s_sustained": round(ingest_mb_per_s, 1),
-        "s2_8psk34_pilots_device_msamples_per_s": round(psk_msps, 2),
-        "s2_8psk34_pilots_block_ms": round(psk_ms, 2),
-        "s2_16apsk23_pilots_device_msamples_per_s": round(a16_msps, 2),
-        "s2_32apsk34_pilots_device_msamples_per_s": round(a32_msps, 2),
-        "gse_gre_pdus_ok": f"{gse_found}/{gse_total}",
-        "dvbs_device_msamples_per_s": round(dvbs_msps, 2),
-        "dvbs_block_ms": round(dvbs_ms, 2),
-        "dvbs_vs_ref_core": round(dvbs_msps * 1e6 / REF_DVBS_PER_CORE, 3),
-        "dvbs_host_stage_msamples_per_s": round(dvbs_host_msps, 1),
-        "ingest": "cs4 (1 B/sample); e2e rides the axon debug tunnel; "
-                  "gates = contiguous byte-exact TS/GRE per carrier",
-    }))
-    return 0
+    def g_32apsk():
+        # 32APSK 3/4 at 14.5 dB runs ~1.5 dB over ideal threshold but
+        # under cs4 4-bit quantization; the trials tail needs more than
+        # 12 sweeps on some seeds — early exit means the budget costs
+        # only what's used
+        msps, ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34",
+                                    n_iters=25)
+        results["s2_32apsk34_pilots_device_msamples_per_s"] = round(msps, 2)
+
+    def g_dvbs():
+        # DVB-S streaming bank (REFBENCH viterbi_12_synced per-core bar)
+        msps, ms, host_msps = bench_dvbs(jax, jnp)
+        results["dvbs_device_msamples_per_s"] = round(msps, 2)
+        results["dvbs_block_ms"] = round(ms, 2)
+        results["dvbs_vs_ref_core"] = round(msps * 1e6 / REF_DVBS_PER_CORE,
+                                            3)
+        results["dvbs_host_stage_msamples_per_s"] = round(host_msps, 1)
+
+    if gate("headline", g_headline):
+        gate("host_stage", g_host_stage)
+    gate("e2e", g_e2e)
+    gate("gse", g_gse)
+    gate("s2_8psk34", g_8psk)
+    gate("s2_16apsk23", g_16apsk)
+    gate("s2_32apsk34", g_32apsk)
+    gate("dvbs", g_dvbs)
+
+    results["metric"] = "dvbs2_qpsk12_8carrier_device_throughput"
+    results["unit"] = "Msamples/s"
+    results["ingest"] = ("cs4 (1 B/sample); e2e rides the axon debug "
+                         "tunnel; gates = contiguous byte-exact TS/GRE "
+                         "per carrier")
 
 
 if __name__ == "__main__":

@@ -352,7 +352,11 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
             scratch_shapes=[
                 pltpu.VMEM((Dmax, PAD, B),
                            jnp.int8 if stash8 else jnp.int32),  # vstash
-                pltpu.VMEM((2 * LANES + PAD - LANES, B),
+                # roll_buf is only touched by the "buffer" roll path;
+                # under the default "prim" (pltpu.roll) allocate a
+                # 1-row dummy instead of ~380 KB of dead VMEM
+                pltpu.VMEM(((2 * LANES + PAD - LANES)
+                            if roll_impl == "buffer" else 1, B),
                            jnp.int32),                       # roll_buf
             ],
         ),

@@ -3,7 +3,6 @@
 quality / PLS / trials from the fused bank, then single-carrier
 sensitivity sweeps over the suspect parameters (seed, delay, cfo)."""
 import sys
-import time
 
 import numpy as np
 

@@ -36,24 +36,27 @@ def main():
 
     orig = ldpc_pallas.decode_qc_pallas
     results = {}
-    for impl in ("prim", "buffer"):
-        def forced(l8, table, **kw):
-            kw["roll_impl"] = impl
-            return orig(l8, table, **kw)
-        ldpc_pallas.decode_qc_pallas = forced
-        step, _ = build_carrier_bank(bm.N_CARRIERS, mc=mc, short=False,
-                                     pilots=True, block_symbols=BLOCK,
-                                     fec="pallas", ingest="cs4", n_iters=12)
-        t0 = time.time()
-        out = step(samples)
-        h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
-        print(f"{impl}: ldpc_ok {h['ldpc_ok'].sum()}/{h['ldpc_ok'].size} "
-              f"bch_bad {h['bch_bad'].sum()} "
-              f"trials mean {h['trials'].mean():.2f} "
-              f"max {h['trials'].max()}  ({time.time()-t0:.1f}s)",
-              flush=True)
-        results[impl] = h
-    ldpc_pallas.decode_qc_pallas = orig
+    try:
+        for impl in ("prim", "buffer"):
+            def forced(l8, table, impl=impl, **kw):
+                kw["roll_impl"] = impl
+                return orig(l8, table, **kw)
+            ldpc_pallas.decode_qc_pallas = forced
+            step, _ = build_carrier_bank(bm.N_CARRIERS, mc=mc, short=False,
+                                         pilots=True, block_symbols=BLOCK,
+                                         fec="pallas", ingest="cs4",
+                                         n_iters=12)
+            t0 = time.time()
+            out = step(samples)
+            h = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+            print(f"{impl}: ldpc_ok {h['ldpc_ok'].sum()}/{h['ldpc_ok'].size} "
+                  f"bch_bad {h['bch_bad'].sum()} "
+                  f"trials mean {h['trials'].mean():.2f} "
+                  f"max {h['trials'].max()}  ({time.time()-t0:.1f}s)",
+                  flush=True)
+            results[impl] = h
+    finally:
+        ldpc_pallas.decode_qc_pallas = orig
 
     a, b = results["prim"], results["buffer"]
     print("ok masks equal:", (a["ldpc_ok"] == b["ldpc_ok"]).all(), flush=True)
