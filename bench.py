@@ -405,12 +405,13 @@ def _bench_all(results, gate):
         results["s2_16apsk23_pilots_device_msamples_per_s"] = round(msps, 2)
 
     def g_32apsk():
-        # 32APSK 3/4 at 14.5 dB runs ~1.5 dB over ideal threshold but
-        # under cs4 4-bit quantization; the trials tail needs more than
-        # 12 sweeps on some seeds — early exit means the budget costs
-        # only what's used
-        msps, ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34",
-                                    n_iters=25)
+        # 32APSK 3/4 at 14.5 dB (~1.5 dB over ideal threshold, under cs4
+        # 4-bit quantization) at the standard 12-sweep budget: the
+        # round-4 trials tail was the flat-clamped pilot-anchor tail
+        # integrating residual CFO (fixed in plphase.pilot_anchor_phases;
+        # tools/debug_32apsk_phase.py) — post-fix trials run ~6 mean at
+        # the worst bench corner, so the 25-sweep band-aid is retired
+        msps, ms = bench_hiord_bank(jax, jnp, 24, 14.5, "32apsk34")
         results["s2_32apsk34_pilots_device_msamples_per_s"] = round(msps, 2)
 
     def g_dvbs():

@@ -358,7 +358,23 @@ def pilot_anchor_phases(frames: jax.Array, cfg: modcod.ModcodConfig,
     mid = (vals[:, 1:-1, None] + dmid[:, :, None] * frac[None, None, :]
            ).reshape(F, -1)
     tail_len = L - a1 - (n_p - 1) * step
-    tail = jnp.broadcast_to(vals[:, -1:], (F, tail_len))
+    # tail: extrapolate at the anchor-track slope instead of clamping
+    # flat. The block-common L&R freq leaves up to ~5e-4 rad/symbol of
+    # residual (worst mid-estimate CFOs); a flat tail accrues that over
+    # the ~1.5k unanchored symbols after the last pilot to >0.5 rad —
+    # past the 32APSK decision regions (the round-4 bench 32APSK gate
+    # failure, VERDICT r4 #1; anatomy in tools/debug_32apsk_phase.py).
+    # The full-span anchor slope measures the residual at ~3e-6
+    # rad/symbol noise (14.5 dB), so extrapolation is ~free. The
+    # reference's per-symbol PLL free-runs its frequency state through
+    # the same region (dvbs2_pll.cpp:34-86) — this matches that.
+    span_steps = max(n_p - 1, 1)
+    if n_p > 1:
+        slope = (vals[:, -1:] - vals[:, 1:2]) / (span_steps * step)
+    else:
+        slope = (vals[:, 1:2] - vals[:, :1]) / float(a1 - 45)
+    t_tail = jnp.arange(tail_len, dtype=jnp.float32)
+    tail = vals[:, -1:] + slope * t_tail[None, :]
     return jnp.concatenate([head, mid, tail], axis=1)
 
 
