@@ -398,7 +398,7 @@ def recover_symbols_full(y2: jax.Array, n_windows: int = 8,
     if pw_ok:
         tau_end_pw = tau_u[-1] + d[-1] * (pos - centers[-1]) / win
         tau_end = jnp.where(use_pw, tau_end_pw, tau_end)
-    return resample_windowed(y2, t), tau_u, tau_end
+    return dispatch_resample(y2, t), tau_u, tau_end
 
 
 _MAX_SCO = 250e-6   # symbol-clock error the windowing must absorb
@@ -490,6 +490,23 @@ def _farrow_coeffs(n_taps: int = 8):
     err = np.abs(V @ coef - vals).max()
     assert err < 1e-3, f"farrow fit residual {err}"
     return coef.T.astype(np.float32), mid, halfr   # [TAPS, DEG+1]
+
+
+RESAMPLER_IMPL = "auto"     # "auto" | "xla" | "pallas" (trace-time)
+
+
+def dispatch_resample(y2: jax.Array, t: jax.Array) -> jax.Array:
+    """Route the barrel+Farrow resampler: the fused Pallas kernel on a
+    real TPU backend, the XLA formulation on CPU (Mosaic cannot compile
+    there; interpret mode is ~100x slower than XLA). Same numerics
+    either way (tests/test_resample_pallas.py)."""
+    impl = RESAMPLER_IMPL
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from .resample_pallas import resample_windowed_pallas
+        return resample_windowed_pallas(y2, t)
+    return resample_windowed(y2, t)
 
 
 def resample_windowed(y2: jax.Array, t: jax.Array,

@@ -21,7 +21,7 @@ def main():
     print(f"device claim: {time.time() - t0:.1f}s", flush=True)
 
     from dvbs_tpu.ops import frontend
-    from dvbs_tpu.ops.resample_pallas import resample_windowed_pallas
+    from dvbs_tpu.ops import resample_pallas as rp
     from dvbs_tpu.parallel.mesh import bank_block_symbols
 
     C = 8
@@ -63,17 +63,26 @@ def main():
 
     for tc in (8, 16, 32):
         try:
-            pk = jax.jit(jax.vmap(
-                lambda yy, tt, tc=tc: resample_windowed_pallas(yy, tt,
-                                                               tc=tc)))
+            pk = jax.jit(lambda yy, tt, tc=tc:
+                         rp._resample_batched(yy, tt, tc=tc))
             got = fetch(pk(yd, td))
             err = np.abs(got - refh).max()
             ms = timeit(pk, yd, td)
-            print(f"pallas tc={tc:2d}: {ms:.3f} ms  max err {err:.2e}",
-                  flush=True)
+            print(f"pallas batched tc={tc:2d}: {ms:.3f} ms  "
+                  f"max err {err:.2e}", flush=True)
         except Exception as e:
-            print(f"pallas tc={tc:2d}: FAILED {type(e).__name__}: "
+            print(f"pallas batched tc={tc:2d}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
+    try:
+        pk = jax.jit(jax.vmap(rp.resample_windowed_pallas))
+        got = fetch(pk(yd, td))
+        err = np.abs(got - refh).max()
+        ms = timeit(pk, yd, td)
+        print(f"pallas via custom_vmap: {ms:.3f} ms  max err {err:.2e}",
+              flush=True)
+    except Exception as e:
+        print(f"custom_vmap: FAILED {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
     print("done", flush=True)
 
 
