@@ -325,31 +325,59 @@ class DVBS2BankStream:
         fo = frame_ok.reshape(C, F)
         kb = kbch_bytes.reshape(C, F, -1)
         starts = small["starts"]                     # [C, F]
+        plsb = small["pls"].reshape(C, F)
+        confb = small["pls_conf"].reshape(C, F)
         L = cfg.plframe_len
         TOL = 12
+        DUMMY = 90 + 36 * 90    # dummy PLFRAME length (driver.DUMMY_LEN)
+        MAXD = 3
 
-        def disc(c, i):
-            if i == 0:
-                if self._expected_start[c] < 0:
+        def dummy_deltas_ok(d):
+            return any(abs(d - L - k * DUMMY) <= TOL
+                       for k in range(MAXD + 1))
+
+        def disc0(c):
+            if self._expected_start[c] < 0:
+                return False
+            dd = (int(starts[c, 0]) - int(self._expected_start[c])) % L
+            for k in range(MAXD + 1):
+                diff = (dd - k * DUMMY) % L
+                if min(diff, L - diff) <= TOL:
                     return False
-                dd = (int(starts[c, 0]) - int(self._expected_start[c])) % L
-                return min(dd, L - dd) > TOL
-            return abs(int(starts[c, i]) - int(starts[c, i - 1]) - L) > TOL
+            return True
+
+        def disc(c, prev_good, i):
+            # continuity vs the previous GOOD frame: exactly one data
+            # frame + k dummy PLFRAMEs between (dummies carry no data
+            # bytes — no gap; models/driver.py:_good_discontinuous)
+            if prev_good is None:
+                return disc0(c) if i == 0 else not dummy_deltas_ok(
+                    int(starts[c, i]) - int(starts[c, i - 1]))
+            return not dummy_deltas_ok(
+                int(starts[c, i]) - int(starts[c, prev_good]))
 
         for c in range(C):
             i = 0
+            prev_good = None
             while i < F:
                 if not fo[c, i]:
-                    self.parsers[c].mark_gap()
+                    # detected dummy slots skip gap-free (conf bar 0.5:
+                    # all-dummy blocks lose the freq anchor, driver.py)
+                    if not (int(plsb[c, i]) >> 2 == 0
+                            and confb[c, i] >= 0.5):
+                        self.parsers[c].mark_gap()
                     i += 1
                     continue
-                if disc(c, i):
+                if disc(c, prev_good, i):
                     self.parsers[c].mark_gap()
                 j = i + 1
-                while j < F and fo[c, j] and not disc(c, j):
+                last = i
+                while j < F and fo[c, j] and not disc(c, last, j):
+                    last = j
                     j += 1
                 outs[c].extend(self.parsers[c].feed(
                     np.ascontiguousarray(kb[c, i:j])))
+                prev_good = j - 1
                 i = j
         self.frames_seen += F
         self.frames_ok += fo.sum(axis=1)
@@ -362,7 +390,8 @@ class DVBS2BankStream:
         conf = small["pls_conf"].reshape(C, F)
         for c in range(C):
             for i in range(F):
-                if conf[c, i] >= 0.7:
+                # dummy PLFRAMEs (MODCOD 0) neither win nor dilute votes
+                if conf[c, i] >= 0.7 and int(pls[c, i]) >> 2 != 0:
                     self._votes[c].append(int(pls[c, i]))
             if len(self._votes[c]) >= self._vote_n:
                 vals, counts = np.unique(np.array(self._votes[c]),

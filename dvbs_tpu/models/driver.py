@@ -56,11 +56,13 @@ class DVBS2Stream:
 
     def __init__(self, mc: int = 4, short: bool = False, pilots: bool = False,
                  block_symbols: int = 1 << 17, auto_modcod: bool = False,
-                 max_ldpc_trials: int = 32, fec: str = "xla"):
+                 max_ldpc_trials: int = 32, fec: str = "xla",
+                 dummy_aware: bool = False):
         self.auto_modcod = auto_modcod
         self.block_symbols = block_symbols
         self.max_ldpc_trials = max_ldpc_trials
         self.fec = fec
+        self.dummy_aware = dummy_aware
         # called with the new ModcodConfig after a successful auto-MODCOD
         # switch — the CLI hooks this to persist the vote to Config, as
         # the reference persists after reconfigure (main.cpp:383-408)
@@ -76,12 +78,15 @@ class DVBS2Stream:
         self.rx = DVBS2Receiver(mc=mc, short=short, pilots=pilots,
                                 block_symbols=self.block_symbols,
                                 max_ldpc_trials=self.max_ldpc_trials,
-                                fec=self.fec)
+                                fec=self.fec,
+                                dummy_aware=self.dummy_aware)
         self.cfg = self.rx.cfg
         self.parser = make_bbframe_parser(self.cfg.kbch)
         self._pending = None         # (rx, device outputs) of dispatched block
         self._next_adv = 2 * self.rx.n_frames * self.cfg.plframe_len
         self._expected_start = None  # next block's frame-grid phase (symbols)
+        self._abs_base = 0           # absolute symbol position of block start
+        self._last_fed_abs = None    # absolute start of last frame fed
 
     def feed(self, samples: np.ndarray) -> bytes:
         """Feed 2-sps samples; returns TS/GRE bytes produced.
@@ -121,24 +126,45 @@ class DVBS2Stream:
             self.stats.block_done(n, res.frame_ok, res.ldpc_trials, len(blk))
             self._update_metrics(res)
             switched = self._maybe_switch_modcod(res)
-            last_end = int(res.last_frame_end)
+            # dummy PLFRAMEs compress the data spacing: the steady
+            # F-frames-per-block advance would overrun un-slotted data
+            # frames at the seam. Advance only past the last NON-dummy
+            # slot and re-center serially (drop the look-ahead — its
+            # samples are still in the FIFO) whenever dummies appeared.
+            okv = np.asarray(res.frame_ok)
+            dummies = [self._is_dummy_slot(res, i) for i in range(len(okv))]
+            nd = [i for i in range(len(okv)) if not dummies[i]]
+            if res.starts is not None and nd:
+                last_end = int(res.starts[nd[-1]]) + rx.cfg.plframe_len
+            elif res.starts is not None and len(okv):
+                # all slots were dummies: their pitch is DUMMY_LEN, not
+                # L — advancing by slot+L would overrun the next data
+                last_end = int(res.starts[-1]) + self.DUMMY_LEN
+            else:
+                last_end = int(res.last_frame_end)
             F_L = rx.n_frames * rx.cfg.plframe_len
-            if switched or ahead is None:
+            if switched or ahead is None or any(dummies):
                 # serial tail: consume by the measured frame positions
                 # (re-centers exactly); drop the look-ahead if its
-                # config is stale — its samples are still in the FIFO
+                # config is stale — its samples are still in the FIFO.
+                # Progress floor DUMMY_LEN (not L): an all-dummy block
+                # may legitimately consume less than one data frame
                 adv_actual = 2 * max(last_end - rx.edge_margin - self.GUARD,
-                                     rx.cfg.plframe_len)
+                                     self.DUMMY_LEN)
                 self._fifo = self._fifo[adv_actual:]
                 self._pending = None
                 self._next_adv = 2 * self.rx.n_frames * \
                     self.rx.cfg.plframe_len
                 self._expected_start = None if switched \
                     else last_end - adv_actual // 2
+                self._abs_base += adv_actual // 2
+                if switched:
+                    self._last_fed_abs = None
             else:
                 self._fifo = self._fifo[adv:]
                 self._pending = ahead
                 self._expected_start = last_end - adv // 2
+                self._abs_base += adv // 2
                 # boundary drift of the retired block -> advance trim.
                 # Gain 1/2 damps the one-block-delayed feedback loop
                 # (d[i+1] = d[i] - g*d[i-1] + c has |roots| < 1 only for
@@ -163,26 +189,21 @@ class DVBS2Stream:
         self._vote.clear()
 
     FRAME_TOL = 12      # symbols of start jitter before a gap is marked
+    DUMMY_LEN = 90 + 36 * 90   # dummy PLFRAME (EN 302 307-1 sec. 5.5.1)
+    MAX_DUMMIES = 3     # consecutive dummies absorbed without a gap
 
-    def _frame_discontinuous(self, starts, i: int) -> bool:
-        """True when frame i's located start is NOT L-periodic with its
-        predecessor (intra-block) or with the previous block's frame
-        grid (i == 0). The per-frame relocation fallback
-        (plsync.locate_frames) can lock onto a SHIFTED grid after a
-        timing jump — the frames decode, but the byte stream handed to
-        the parser is no longer contiguous, and an unmarked skip
-        silently shifts every later TS packet. Detect it and mark a gap
-        so the parser realigns at the next SYNCD."""
-        L = self.cfg.plframe_len
-        if starts is None:
+    def _is_dummy_slot(self, res, i: int) -> bool:
+        """Frame slot i holds a detected dummy PLFRAME. The confidence
+        bar is LOWER than the modcod vote's 0.7: in an all-dummy block
+        no header matches the configured PLS code, the block-common
+        freq estimate loses its anchor, and genuine dummies read at
+        ~0.65-0.74 confidence."""
+        if res.detected_pls is None:
             return False
-        if i == 0:
-            if self._expected_start is None:
-                return False
-            d = (int(starts[0]) - self._expected_start) % L
-            return min(d, L - d) > self.FRAME_TOL
-        d = int(starts[i]) - int(starts[i - 1])
-        return abs(d - L) > self.FRAME_TOL
+        conf = (float(res.detected_pls_conf[i])
+                if res.detected_pls_conf is not None else 1.0)
+        return int(res.detected_pls[i]) >> 2 == 0 and conf >= 0.5
+
 
     def _parse_frames(self, res) -> bytes:
         """Feed the block's good BBFRAMEs to the TS/GSE parser, marking
@@ -195,24 +216,45 @@ class DVBS2Stream:
         out = bytearray()
         ok = np.asarray(res.frame_ok)
         starts = res.starts
+        L = self.cfg.plframe_len
         fi = 0
         i = 0
         while i < len(ok):
+            a = None if starts is None else \
+                self._abs_base + int(starts[i])
             if not ok[i]:
-                # failed frames are absent from res.bbframes: fi stays
-                self.parser.mark_gap()
+                # failed frames are absent from res.bbframes: fi stays.
+                # A confidently-detected DUMMY PLFRAME (MODCOD 0) in the
+                # slot is NOT a failure: it carries no data-field bytes,
+                # so the stream stays contiguous across it — skip
+                # without a gap (dummy_plframe in the TX oracle;
+                # tests/test_dummy_frames.py). A failed slot that is a
+                # re-decode of an already-fed frame (block overlap on a
+                # non-L-periodic grid) is no loss either.
+                if not self._is_dummy_slot(res, i) and \
+                        (a is None or self._last_fed_abs is None
+                         or a > self._last_fed_abs + L // 2):
+                    self.parser.mark_gap()
                 i += 1
                 continue
-            if self._frame_discontinuous(starts, i):
-                self.parser.mark_gap()
-            j = i + 1
-            while j < len(ok) and ok[j] and \
-                    not self._frame_discontinuous(starts, j):
-                j += 1
-            run = j - i
-            out.extend(self.parser.feed(res.bbframes[fi:fi + run]))
-            fi += run
-            i = j
+            if a is not None and self._last_fed_abs is not None:
+                d = a - self._last_fed_abs
+                if d < L // 2:
+                    # duplicate of an already-fed frame (the block
+                    # advance re-covered it): skip silently
+                    fi += 1
+                    i += 1
+                    continue
+                if all(abs(d - L - k * self.DUMMY_LEN) > self.FRAME_TOL
+                       for k in range(self.MAX_DUMMIES + 1)):
+                    # not one-data-frame(+dummies) away: data was lost
+                    # or the grid jumped — realign at the next SYNCD
+                    self.parser.mark_gap()
+            out.extend(self.parser.feed(res.bbframes[fi:fi + 1]))
+            if a is not None:
+                self._last_fed_abs = a
+            fi += 1
+            i += 1
         return bytes(out)
 
     def _update_metrics(self, res):
@@ -247,7 +289,9 @@ class DVBS2Stream:
                     vote=list(self._vote),
                     fifo=self._fifo.copy(),
                     parser_state=self.parser.get_state(),
-                    expected_start=self._expected_start)
+                    expected_start=self._expected_start,
+                    abs_base=self._abs_base,
+                    last_fed_abs=self._last_fed_abs)
 
     def set_state(self, st: dict):
         cfg = modcod.from_pls_code(st["pls_code"])
@@ -256,6 +300,8 @@ class DVBS2Stream:
         self._fifo = st["fifo"].copy()
         self.parser.set_state(st["parser_state"])
         self._expected_start = st.get("expected_start")
+        self._abs_base = st.get("abs_base", 0)
+        self._last_fed_abs = st.get("last_fed_abs")
 
     def _maybe_switch_modcod(self, res) -> bool:
         """50-frame consistency vote (main.cpp:383-408). Returns True if
@@ -268,7 +314,9 @@ class DVBS2Stream:
         conf = res.detected_pls_conf if res.detected_pls_conf is not None \
             else np.ones(len(res.detected_pls))
         for pls, c in zip(res.detected_pls, conf):
-            if c >= 0.7:
+            # dummy PLFRAMEs (MODCOD 0) are idle filler, not a signal
+            # configuration — they must neither win nor dilute the vote
+            if c >= 0.7 and int(pls) >> 2 != 0:
                 self._vote.append(int(pls))
         if not self.auto_modcod or len(self._vote) < 50:
             return False

@@ -58,7 +58,8 @@ class DVBS2Receiver:
                  block_symbols: int = 1 << 15, max_ldpc_trials: int = 32,
                  sof_threshold: float = 0.6, g1: float | None = None,
                  g2: float | None = None, equalize: bool = False,
-                 fec: str = "xla", interpret_pallas: bool = False):
+                 fec: str = "xla", interpret_pallas: bool = False,
+                 dummy_aware: bool = False):
         """fec: "xla" runs the VMEM-scheduled decode_qc (any frame
         count); "pallas" routes EVERY decode through the int8 B=128
         kernel (ops/ldpc_pallas) — the one-decoder-for-all-paths
@@ -80,6 +81,10 @@ class DVBS2Receiver:
         self.equalize = equalize
         self.fec = fec
         self.interpret_pallas = interpret_pallas
+        # dummy_aware: chain-slot the frame grid so interleaved dummy
+        # PLFRAMEs (shorter than L) never skip a data SOF — opt-in,
+        # the parallel locator stays the default (ops/plsync)
+        self.dummy_aware = dummy_aware
         L = self.cfg.plframe_len
         self.edge_margin = 256
         self.n_frames = (block_symbols - 2 * self.edge_margin - 90) // L - 1
@@ -120,14 +125,22 @@ class DVBS2Receiver:
                 z = equalizer.lms_equalize(z)
 
             score, _ = plsync.correlate(z)
-            starts, quality = plsync.locate_frames(score, L, F,
-                                                   margin=self.edge_margin)
+            if self.dummy_aware:
+                starts, quality = plsync.locate_frames_chain(
+                    score, L, F, margin=self.edge_margin)
+            else:
+                starts, quality = plsync.locate_frames(
+                    score, L, F, margin=self.edge_margin)
             frames = plsync.extract_frames(z, starts, L)
 
             # coarse lag-2 FED (wide pull-in) then multi-lag L&R refine
-            fed = plphase.coarse_fed_common(frames, cfg)
+            # (dummy_aware: coherence-weighted — dummy headers carry a
+            # different PLS codeword, plphase.coarse_fed_common)
+            fed = plphase.coarse_fed_common(frames, cfg,
+                                            robust=self.dummy_aware)
             frames = plphase.apply_freq(frames, jnp.broadcast_to(fed, (F,)))
-            flr = plphase.lr_freq_common(frames, cfg)
+            flr = plphase.lr_freq_common(frames, cfg,
+                                         robust=self.dummy_aware)
             frames = plphase.apply_freq(frames, jnp.broadcast_to(flr, (F,)))
             freq = jnp.broadcast_to(fed + flr, (F,))
             theta0 = plphase.header_phase(frames, cfg)

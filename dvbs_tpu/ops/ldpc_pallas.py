@@ -51,6 +51,12 @@ F_VALID = 1
 F_MASK0 = 2          # wrap entry of layer 0: column 0 carries no edge
 MSG_CLIP = 31        # message magnitude cap (posterior headroom, see kernel)
 
+# default layered schedule for decode_qc_pallas callers that don't pass
+# one ("natural" | "oriented", see kernel_tables_oriented) — a module
+# flag so the carrier banks and measurement tools can A/B without
+# threading a parameter through every build path
+SCHEDULE = "natural"
+
 
 def quantize_llrs(llr: jax.Array) -> jax.Array:
     """Float LLRs [B, N] -> int8 at the kernel's operating scale
@@ -89,9 +95,94 @@ def kernel_tables(table: str):
                 N=t["N"], K=t["K"])
 
 
-def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
-            bad_out, vstash, roll_buf, *, Dmax, beta, n_rows, lpg,
-            roll_impl, stash8):
+@functools.lru_cache()
+def kernel_tables_oriented(table: str):
+    """Schedule tables for ORIENTED posterior storage.
+
+    The natural schedule pays TWO rolls per edge and sweep: pass 1
+    rolls the group's posterior into the layer's check alignment, and
+    pass 2 rolls the message delta back before the scatter. Storing
+    each group's posterior tile IN THE ORIENTATION OF ITS LAST WRITER
+    removes the pass-2 roll: pass 2 adds the delta to the pass-1
+    stash (already in layer orientation) and writes it back as-is;
+    the next reader's pass-1 shift is the static difference between
+    its own alignment and the previous writer's — all composable at
+    table-build time because the layered schedule is static.
+
+    Per-layer slot layout (static slot-mode regions; pass 2 runs in
+    slot order, so intra-layer duplicate groups land AFTER their first
+    occurrence and re-read the just-written tile with one roll):
+
+      [info first-occurrences][invalid pad][dups (rz slots)]
+      [parity r][parity r-1]
+
+    Two shift-table variants: sweep 1 starts from natural orientation
+    (o = 0); every later sweep starts from the schedule's fixed-point
+    orientation o_final (the last writer per group), which is also the
+    static un-orientation applied after the final sweep.  Bit-exact vs
+    the natural schedule (tests/test_ldpc_pallas.py).
+    """
+    base = kernel_tables(table)
+    t = qc_tables(table)
+    G, q = base["G"], base["q"]
+    rows = []
+    rz = 0
+    for r in range(q):
+        seen = set()
+        first, dups = [], []
+        for (g, s) in t["layers"][r]:
+            (dups if g in seen else first).append((g, s, F_VALID))
+            seen.add(g)
+        rz = max(rz, len(dups))
+        par = [(G + r, 0, F_VALID),
+               (G + q - 1, 1, F_VALID | F_MASK0) if r == 0
+               else (G + r - 1, 0, F_VALID)]
+        rows.append((first, dups, par))
+    # D2 == base Dmax: first-occurrences may spill into the static
+    # roll region (roll-mode is correct for ANY entry — its d is just
+    # the pass-1 read shift when nothing wrote the group this layer)
+    D2 = base["Dmax"]
+    DUMMY = G + q       # scratch group: invalid pad slots write here
+
+    def build(o0):
+        o = o0.copy()
+        g_tab = np.full((q, D2), DUMMY, np.int32)
+        f_tab = np.zeros((q, D2), np.int32)
+        rs = np.zeros((q, D2), np.int32)
+        d = np.zeros((q, D2), np.int32)
+        for r, (first, dups, par) in enumerate(rows):
+            ents_slots = [(i, e) for i, e in enumerate(first)]
+            nd = len(dups)
+            ents_slots += [(D2 - 2 - nd + i, e) for i, e in enumerate(dups)]
+            ents_slots.append((D2 - 2, par[0]))
+            ents_slots.append((D2 - 1, par[1]))
+            assert len({sl for sl, _ in ents_slots}) == len(ents_slots)
+            for sl, (g, s, f) in ents_slots:
+                g_tab[r, sl] = g
+                f_tab[r, sl] = f
+                rs[r, sl] = (s - o[g]) % LANES
+            writes = {}
+            for sl, (g, s, f) in sorted(ents_slots):
+                d[r, sl] = (s - writes.get(g, o[g])) % LANES
+                writes[g] = s
+            for g, s in writes.items():
+                o[g] = s
+        return g_tab, f_tab, rs, d, o
+
+    zeros = np.zeros(G + q + 1, np.int64)
+    g_tab, f_tab, rs1, d1, o_final = build(zeros)
+    g2, f2, rsS, dS, o2 = build(o_final.copy())
+    assert np.array_equal(o_final, o2) and np.array_equal(g_tab, g2) \
+        and np.array_equal(f_tab, f2)
+    return dict(G=G, q=q, Dmax=D2, rz=rz, g_tab=g_tab, f_tab=f_tab,
+                rs_first=rs1, d_first=d1, rs_steady=rsS, d_steady=dS,
+                o_final=np.asarray(o_final, np.int64),
+                N=base["N"], K=base["K"])
+
+
+def _kernel(g_ref, s_ref, f_ref, d_ref, post_in, msgs_in, post_out,
+            msgs_out, bad_out, vstash, roll_buf, *, Dmax, beta, n_rows,
+            lpg, roll_impl, stash8, oriented, rz):
     # one pallas_call = ONE layered sweep; the grid walks the layers in
     # groups of `lpg` (layers per grid step, processed SERIALLY inside
     # the body — identical schedule semantics, ~lpg x fewer grid/DMA
@@ -120,14 +211,15 @@ def _kernel(g_ref, s_ref, f_ref, post_in, msgs_in, post_out, msgs_out,
 
     for j in range(lpg):
         r = step * lpg + j
-        _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
-                    bad_out, vstash, roll_buf, r=r, j=j, Dmax=Dmax,
-                    beta=beta, roll_impl=roll_impl, stash8=stash8)
+        _layer_body(g_ref, s_ref, f_ref, d_ref, msgs_in, post_out,
+                    msgs_out, bad_out, vstash, roll_buf, r=r, j=j,
+                    Dmax=Dmax, beta=beta, roll_impl=roll_impl,
+                    stash8=stash8, oriented=oriented, rz=rz)
 
 
-def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
+def _layer_body(g_ref, s_ref, f_ref, d_ref, msgs_in, post_out, msgs_out,
                 bad_out, vstash, roll_buf, *, r, j, Dmax, beta,
-                roll_impl, stash8):
+                roll_impl, stash8, oriented, rz):
     B = post_out.shape[1]
 
     # every elementwise tensor is padded to PAD=384 rows (tile-aligned
@@ -189,7 +281,12 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         tile = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
         rolled = roll360(tile, s)
         v = rolled - msgs_in[j, e].astype(jnp.int32)
-        if not stash8:
+        if oriented:
+            # oriented mode stashes the ROLLED pre-layer posterior:
+            # pass 2's stash-slot write-back is stash + delta, already
+            # in layer orientation — no inverse roll
+            vstash[e] = rolled
+        elif not stash8:
             vstash[e] = v
         a = jnp.abs(v)
         neg = (v < 0).astype(jnp.int32)
@@ -240,7 +337,10 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         g = g_ref[r, e]
         s = s_ref[r, e]
         fl = f_ref[r, e]
-        if stash8:
+        if oriented:
+            old32 = msgs_in[j, e].astype(jnp.int32)
+            neg = ((vstash[e] - old32) < 0).astype(jnp.int32)
+        elif stash8:
             neg = vstash[e].astype(jnp.int32)
         else:
             neg = (vstash[e] < 0).astype(jnp.int32)
@@ -268,24 +368,59 @@ def _layer_body(g_ref, s_ref, f_ref, msgs_in, post_out, msgs_out,
         news = jnp.where(flip, jnp.int32(0), news)
         delta = news - old
         msgs_out[j, e] = news.astype(jnp.int8)
-        # inverse roll and saturating posterior update (the padding rows
-        # of post accumulate don't-care values, clipped like the rest)
-        rdelta = roll360(delta, jax.lax.rem(LANES - s, LANES))
         base = pl.multiple_of(g * PAD, PAD)
-        cur = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
-        upd = jnp.clip(cur + rdelta, jnp.int32(-127), jnp.int32(127))
-        post_out[pl.ds(base, PAD), :] = upd.astype(jnp.int8)
+        if oriented:
+            # oriented write-back: the posterior stays in THIS layer's
+            # orientation (no inverse roll). Stash slots add the delta
+            # to the pass-1 stash; the rz roll-region slots (intra-layer
+            # dups + spilled first-occurrences) re-read the tile at its
+            # current orientation and roll by the static difference
+            # d_ref. Invalid pad slots carry g = DUMMY (a scratch group
+            # row past the real posteriors), so their writes land in
+            # never-read rows — no predication needed.
+            if Dmax - 2 - rz <= e < Dmax - 2:
+                cur0 = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
+                cur = roll360(cur0, d_ref[r, e])
+            else:
+                cur = vstash[e]
+            upd = jnp.clip(cur + delta, jnp.int32(-127), jnp.int32(127)
+                           ).astype(jnp.int8)
+            post_out[pl.ds(base, PAD), :] = upd
+        else:
+            # inverse roll and saturating posterior update (the padding
+            # rows of post accumulate don't-care values, clipped like
+            # the rest)
+            rdelta = roll360(delta, jax.lax.rem(LANES - s, LANES))
+            cur = post_out[pl.ds(base, PAD), :].astype(jnp.int32)
+            upd = jnp.clip(cur + rdelta, jnp.int32(-127), jnp.int32(127))
+            post_out[pl.ds(base, PAD), :] = upd.astype(jnp.int8)
+
+
+def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
+                     beta: int = 1, interpret: bool = False,
+                     early_exit: bool = True, syndrome: str = "kernel",
+                     lpg: int | None = None, roll_impl: str = "prim",
+                     stash8: bool = False, schedule: str | None = None):
+    """Thin dispatcher: resolves schedule=None from the module SCHEDULE
+    flag BEFORE the jit boundary (a None static arg would pin the trace
+    to whatever the flag was first)."""
+    return _decode_qc_pallas(
+        llr_i8, table, n_iters=n_iters, beta=beta, interpret=interpret,
+        early_exit=early_exit, syndrome=syndrome, lpg=lpg,
+        roll_impl=roll_impl, stash8=stash8,
+        schedule=schedule if schedule is not None else SCHEDULE)
 
 
 @functools.partial(jax.jit, static_argnames=("table", "n_iters", "beta",
                                              "interpret", "early_exit",
                                              "syndrome", "lpg",
-                                             "roll_impl", "stash8"))
-def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
-                     beta: int = 1, interpret: bool = False,
-                     early_exit: bool = True, syndrome: str = "kernel",
-                     lpg: int | None = None, roll_impl: str = "prim",
-                     stash8: bool = False):
+                                             "roll_impl", "stash8",
+                                             "schedule"))
+def _decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
+                      beta: int = 1, interpret: bool = False,
+                      early_exit: bool = True, syndrome: str = "kernel",
+                      lpg: int | None = None, roll_impl: str = "prim",
+                      stash8: bool = False, schedule: str = "natural"):
     """Layered OMS decode of B=128 frames in one Pallas kernel.
 
     llr_i8: [128, N] int8 LLRs (positive = bit 0; demap scale, ~const_sca).
@@ -308,9 +443,16 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     within the final sweep; downstream the on-device BCH syndrome gates
     actual frame acceptance either way.
     """
-    kt = kernel_tables(table)
+    oriented = schedule == "oriented"
+    if oriented:
+        assert not stash8, "oriented schedule stashes rolled posteriors"
+        kt = kernel_tables_oriented(table)
+    else:
+        kt = kernel_tables(table)
     G, q, Dmax = kt["G"], kt["q"], kt["Dmax"]
-    n_rows = (G + q) * PAD
+    rz = kt.get("rz", 0)
+    # +1 scratch group row in oriented mode (invalid pad slots' writes)
+    n_rows = (G + q + (1 if oriented else 0)) * PAD
     assert llr_i8.shape == (B, kt["N"]), llr_i8.shape
     # layers per grid step: fewer grid steps = less per-step DMA/latency
     # overhead (the per-sweep time was grid-bound, PROFILE_r4.md); the
@@ -324,15 +466,19 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
     # rows padded 360 -> PAD for tile alignment
     p3 = llr_to_post(llr_i8, G, q)                     # [G+q, 360, B]
     post = jnp.pad(p3, ((0, 0), (0, PAD - LANES), (0, 0))
-                   ).reshape(n_rows, B)
+                   ).reshape((G + q) * PAD, B)
+    if oriented:                     # scratch group row (see DUMMY)
+        post = jnp.concatenate(
+            [post, jnp.zeros((PAD, B), jnp.int8)], axis=0)
     msgs = jnp.zeros((q, Dmax, PAD, B), jnp.int8)
 
     kern = functools.partial(_kernel, Dmax=Dmax, beta=beta, n_rows=n_rows,
-                             lpg=lpg, roll_impl=roll_impl, stash8=stash8)
+                             lpg=lpg, roll_impl=roll_impl, stash8=stash8,
+                             oriented=oriented, rz=rz)
     sweep = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(q // lpg,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),        # post, stays HBM
@@ -368,20 +514,37 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
         interpret=interpret,
     )
     g_t = jnp.asarray(kt["g_tab"])
-    s_t = jnp.asarray(kt["s_tab"])
     f_t = jnp.asarray(kt["f_tab"])
+    if oriented:
+        s_first, d_first = jnp.asarray(kt["rs_first"]), jnp.asarray(
+            kt["d_first"])
+        s_steady, d_steady = jnp.asarray(kt["rs_steady"]), jnp.asarray(
+            kt["d_steady"])
+    else:
+        s_first = s_steady = jnp.asarray(kt["s_tab"])
+        d_first = d_steady = jnp.zeros_like(s_first)
 
     trials0 = jnp.full((B,), n_iters, jnp.int32)
     done0 = jnp.zeros((B,), bool)
     bad0 = jnp.full((B,), 1, jnp.int32)   # "unknown" until the first sweep
 
-    def body(carry):
-        post, msgs, trials, done, lastbad, it = carry
-        post, msgs, bad = sweep(g_t, s_t, f_t, post, msgs)
-        now_ok = bad[0] == 0
-        trials = jnp.where(~done & now_ok, it + 1, trials)
-        done = done | now_ok
-        return post, msgs, trials, done, bad[0], it + 1
+    def make_body(s_t, d_t):
+        def body(carry):
+            post, msgs, trials, done, lastbad, it = carry
+            post, msgs, bad = sweep(g_t, s_t, f_t, d_t, post, msgs)
+            now_ok = bad[0] == 0
+            trials = jnp.where(~done & now_ok, it + 1, trials)
+            done = done | now_ok
+            return post, msgs, trials, done, bad[0], it + 1
+        return body
+
+    body = make_body(s_steady, d_steady)
+    body_first = make_body(s_first, d_first)
+
+    # sweep 1 runs unrolled (oriented mode: it reads from the natural
+    # orientation and leaves every group at the schedule's fixed-point
+    # orientation; from sweep 2 on the steady tables apply)
+    carry = body_first((post, msgs, trials0, done0, bad0, jnp.int32(0)))
 
     if early_exit:
         def cond(carry):
@@ -392,16 +555,29 @@ def decode_qc_pallas(llr_i8: jax.Array, table: str, n_iters: int = 16,
             n_open = jnp.sum(1 - done.astype(jnp.int32))
             return (it < n_iters) & (n_open > 0)
         post, msgs, trials, done, lastbad, _ = jax.lax.while_loop(
-            cond, body, (post, msgs, trials0, done0, bad0, jnp.int32(0)))
-    else:
+            cond, body, carry)
+    elif n_iters > 1:
         def one(carry, _):
             return body(carry), 0
         (post, msgs, trials, done, lastbad, _), _ = jax.lax.scan(
-            one, (post, msgs, trials0, done0, bad0, jnp.int32(0)), None,
-            length=n_iters)
+            one, carry, None, length=n_iters - 1)
+    else:
+        post, msgs, trials, done, lastbad, _ = carry
     del msgs
 
-    p3 = post.reshape(G + q, PAD, B)[:, :LANES, :]
+    if oriented:
+        # static per-group un-orientation (one log-depth masked-roll
+        # barrel over the whole posterior, ~9 passes of int8 — NOT a
+        # per-group python loop of 100+ small rolls)
+        u = (LANES - kt["o_final"][:G + q]) % LANES
+        x = post[:(G + q) * PAD].reshape(G + q, PAD, B)[:, :LANES, :]
+        for b in range(int(np.max(u)).bit_length()):
+            kk = 1 << b
+            mask = jnp.asarray(((u >> b) & 1) != 0)[:, None, None]
+            x = jnp.where(mask, jnp.roll(x, kk, axis=1), x)
+        p3 = x
+    else:
+        p3 = post.reshape(G + q, PAD, B)[:, :LANES, :]
     hard = post_to_hard(p3, G, q)                      # [B, N]
 
     if syndrome == "kernel":

@@ -87,26 +87,42 @@ def coarse_fed(frames: jax.Array, cfg: modcod.ModcodConfig) -> jax.Array:
     return jnp.angle(acc) / 2.0
 
 
-def coarse_fed_common(frames: jax.Array, cfg: modcod.ModcodConfig) -> jax.Array:
+def coarse_fed_common(frames: jax.Array, cfg: modcod.ModcodConfig,
+                      robust: bool = False) -> jax.Array:
     """Block-common FED: all frames in a block share one carrier, so
     averaging the lag-2 accumulators across frames cuts the estimator
     noise by sqrt(F) — the feed-forward analogue of the reference's slow
-    outer loop gain (fll_bw/100, module_dvbs2_demod.cpp:321-331)."""
+    outer loop gain (fll_bw/100, module_dvbs2_demod.cpp:321-331).
+
+    robust gates each frame's accumulator on its own coherence: a
+    frame whose header does NOT match the configured PLS codeword (a
+    dummy PLFRAME's differs in the 64 PLS symbols) sums its lag
+    products incoherently, |acc| ~ sqrt(n) instead of ~n, and is
+    excluded. If NO frame matches (an all-dummy block), the estimate
+    is 0 — far closer to truth than the angle of noise (dummy_aware
+    receivers; tests/test_dummy_frames.py)."""
     hdr = jnp.asarray(_header_syms(cfg.pls_code))
     h = frames[:, :90] * jnp.conj(hdr)[None, :]
-    acc = jnp.sum(h[:, 2:] * jnp.conj(h[:, :-2]))
+    acc_f = jnp.sum(h[:, 2:] * jnp.conj(h[:, :-2]), axis=1)    # [F]
+    nprod = 88.0
     if cfg.pilots:
         ph = jnp.asarray(_payload_descramble_phasors(cfg.plframe_len - 90))
         pstarts = pilot_starts(cfg)
         pilot = (1 + 1j) / np.sqrt(2)
         for p in pstarts:
             blk = frames[:, p:p + 36] * ph[p - 90:p - 90 + 36] * np.conj(pilot)
-            acc = acc + jnp.sum(blk[:, 2:] * jnp.conj(blk[:, :-2]))
-    return jnp.angle(acc) / 2.0
+            acc_f = acc_f + jnp.sum(blk[:, 2:] * jnp.conj(blk[:, :-2]),
+                                    axis=1)
+            nprod += 34.0
+    if robust:
+        w = (jnp.abs(acc_f) > 0.35 * nprod).astype(acc_f.dtype)
+        acc = jnp.sum(acc_f * w)
+        return jnp.where(jnp.abs(acc) > 0, jnp.angle(acc) / 2.0, 0.0)
+    return jnp.angle(jnp.sum(acc_f)) / 2.0
 
 
 def lr_freq_common(frames: jax.Array, cfg: modcod.ModcodConfig,
-                   M: int = 8) -> jax.Array:
+                   M: int = 8, robust: bool = False) -> jax.Array:
     """Block-common Luise-Reggiannini frequency estimate over the known
     symbols (header + pilot blocks) of every frame.
 
@@ -125,11 +141,21 @@ def lr_freq_common(frames: jax.Array, cfg: modcod.ModcodConfig,
         for p in pilot_starts(cfg):
             segs.append(frames[:, p:p + 36] * ph[p - 90:p - 90 + 36] *
                         np.conj(pilot))
-    acc = jnp.zeros((), jnp.complex64)
+    acc_f = jnp.zeros((frames.shape[0],), jnp.complex64)
+    nprod = 0.0
     for m in range(1, M + 1):
-        for s in segs:
-            acc = acc + jnp.sum(s[:, m:] * jnp.conj(s[:, :-m]))
-    return jnp.angle(acc) / ((M + 1) / 2.0)
+        for seg in segs:
+            acc_f = acc_f + jnp.sum(seg[:, m:] * jnp.conj(seg[:, :-m]),
+                                    axis=1)
+            nprod += seg.shape[1] - m
+    if robust:
+        # coherence-gated (see coarse_fed_common): mismatched-header
+        # frames (dummies) are excluded; all-dummy blocks estimate 0
+        w = (jnp.abs(acc_f) > 0.35 * nprod).astype(acc_f.dtype)
+        acc = jnp.sum(acc_f * w)
+        return jnp.where(jnp.abs(acc) > 0,
+                         jnp.angle(acc) / ((M + 1) / 2.0), 0.0)
+    return jnp.angle(jnp.sum(acc_f)) / ((M + 1) / 2.0)
 
 
 def apply_freq(frames: jax.Array, freq: jax.Array) -> jax.Array:

@@ -139,6 +139,67 @@ def locate_frames(score: jax.Array, frame_len: int, n_frames: int,
     return starts, quality
 
 
+DUMMY_LEN = 90 + 36 * 90     # dummy PLFRAME (EN 302 307-1 sec. 5.5.1)
+
+
+def locate_frames_chain(score: jax.Array, frame_len: int, n_frames: int,
+                        search: int = 4, margin: int = 0,
+                        threshold: float = 0.6):
+    """Sequentially-chained frame slotting for NON-UNIFORM grids
+    (dummy PLFRAMEs interleaved with data, dummy_aware receivers).
+
+    The parallel locator (locate_frames) assumes an L-periodic grid; a
+    dummy PLFRAME is only DUMMY_LEN symbols, so streams with dummies
+    have more SOFs than L-periodic slots and un-slotted data frames
+    get skipped at block seams.  Here each slot chains from the
+    previous slot's refined position over the candidate pitches
+    {DUMMY_LEN, L, L+DUMMY_LEN, L+2*DUMMY_LEN} (a dummy occupies its
+    own slot; its pitch to the next SOF is DUMMY_LEN), picking the
+    EARLIEST candidate whose refined correlation clears `threshold` —
+    the batched analogue of the reference's frame-by-frame realign
+    (dvbs2_pl_sync.cpp:145-161), which never skips a SOF.  Falls back
+    per-slot to the best candidate when none clears the threshold.
+
+    Cost: a lax.scan of n_frames tiny gather steps — only used by
+    dummy_aware receivers (opt-in), the default stays the fully
+    parallel locator.  Returns (starts [n_frames], quality [n_frames]).
+    """
+    L = frame_len
+    n = score.shape[0]
+    p0 = margin + jnp.argmax(
+        jax.lax.dynamic_slice(score, (margin,), (L,))).astype(jnp.int32)
+    offs = jnp.arange(-search, search + 1, dtype=jnp.int32)
+    pitches = jnp.asarray([DUMMY_LEN, L, L + DUMMY_LEN, L + 2 * DUMMY_LEN],
+                          jnp.int32)
+
+    def refine(pos):
+        c = jnp.clip(pos + offs, 0, n - 1)
+        v = score[c]
+        k = jnp.argmax(v)
+        return c[k], v[k]
+
+    def step(prev, _):
+        prev = prev + 0 * score[0].astype(jnp.int32)   # data-tied carry
+        cand = prev + pitches
+        cc = jnp.clip(cand[:, None] + offs[None, :], 0, n - 1)
+        v = score[cc]                                  # [4, 2*search+1]
+        q = jnp.max(v, axis=1)
+        r = jnp.argmax(v, axis=1)
+        above = q > threshold
+        any_above = jnp.any(above)
+        first = jnp.argmax(above)                      # earliest above
+        besti = jnp.argmax(q)
+        i = jnp.where(any_above, first, besti)
+        nxt = cc[i, r[i]].astype(jnp.int32)
+        return nxt, (nxt, q[i])
+
+    s0, q0 = refine(p0)
+    _, (rest, rq) = jax.lax.scan(step, s0, None, length=n_frames - 1)
+    starts = jnp.concatenate([s0[None], rest])
+    quality = jnp.concatenate([q0[None], rq])
+    return starts.astype(jnp.int32), quality.astype(jnp.float32)
+
+
 def extract_frames(z: jax.Array, starts: jax.Array, frame_len: int
                    ) -> jax.Array:
     """Batched dynamic slice: frames [F, frame_len] from symbol stream."""

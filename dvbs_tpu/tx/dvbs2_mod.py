@@ -108,6 +108,34 @@ def bbframes_to_plframes(bbframes: np.ndarray, cfg: modcod.ModcodConfig
     return out
 
 
+DUMMY_PLFRAME_LEN = 90 + 36 * 90      # EN 302 307-1 sec. 5.5.1
+
+
+def dummy_plframe() -> np.ndarray:
+    """Dummy PLFRAME (MODCOD 0): PLHEADER with PLS code 0 followed by
+    36 slots of unmodulated carrier I = Q = 1/sqrt(2), PL-scrambled —
+    real transponders insert these between data PLFRAMEs when idle.
+    [3330] complex64."""
+    frame = np.empty(DUMMY_PLFRAME_LEN, np.complex64)
+    frame[:90] = plheader.plheader_symbols(0)
+    frame[90:] = scrambling.pl_scramble(
+        np.full(36 * 90, (1 + 1j) / np.sqrt(2), np.complex64))
+    return frame
+
+
+def interleave_dummies(plframes: np.ndarray, every: int,
+                       n_dummies: int = 1) -> np.ndarray:
+    """[n, L] data PLFRAMEs -> flat symbol stream with `n_dummies`
+    dummy PLFRAMEs inserted after every `every` data frames."""
+    dummy = dummy_plframe()
+    out = []
+    for i, f in enumerate(plframes):
+        out.append(f)
+        if (i + 1) % every == 0:
+            out.extend([dummy] * n_dummies)
+    return np.concatenate(out)
+
+
 def pilot_symbol_positions(cfg: modcod.ModcodConfig) -> np.ndarray:
     """Start index (within the PLFRAME, incl. header) of each 36-symbol
     pilot block: after every 16 slots of payload (dvbs2_pll.cpp:48-68)."""

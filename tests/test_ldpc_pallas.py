@@ -230,3 +230,36 @@ def test_roll_and_stash_variants_bit_exact(noisy_case):
                 continue
             for a, b in zip(out, ref):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_oriented_schedule_bit_exact(noisy_case):
+    """Oriented posterior storage (pass-2 write-back without the inverse
+    roll; shift composition baked into the static tables,
+    kernel_tables_oriented) must be bit-identical to the natural
+    schedule — hard bits, syndromes, and trials — under both fixed and
+    early-exit sweep loops."""
+    llr, _ = noisy_case
+    for ee in (False, True):
+        ref = ldpc_pallas.decode_qc_pallas(
+            jnp.asarray(llr), "C4", n_iters=3, interpret=True,
+            early_exit=ee, schedule="natural")
+        got = ldpc_pallas.decode_qc_pallas(
+            jnp.asarray(llr), "C4", n_iters=3, interpret=True,
+            early_exit=ee, schedule="oriented")
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_oriented_tables_consistency():
+    """Table-build invariants across every DVB-S2 code: the steady
+    orientation is the schedule fixed point, dup entries sit in the
+    static roll region, and slot counts cover every entry."""
+    from dvbs_tpu.ops.ldpc_qc import qc_tables
+    for table in ("B1", "B4", "B11", "C1", "C5", "C9", "C10"):
+        kt = ldpc_pallas.kernel_tables_oriented(table)
+        t = qc_tables(table)
+        q, D2, rz = kt["q"], kt["Dmax"], kt["rz"]
+        f = kt["f_tab"]
+        for r in range(q):
+            n_valid = int((f[r] & ldpc_pallas.F_VALID).sum())
+            assert n_valid == len(t["layers"][r]) + 2

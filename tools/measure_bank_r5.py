@@ -53,25 +53,39 @@ def main():
         sync(o)
         return (time.time() - t0) / reps * 1e3
 
+    from dvbs_tpu.ops import ldpc_pallas
     res = {}
-    for impl in ("xla", "pallas"):
-        frontend.RESAMPLER_IMPL = impl
-        step, _ = build_carrier_bank(N_CARRIERS, mc=mc, short=short,
-                                     block_symbols=BLOCK, fec="pallas",
-                                     ingest="cs4")
-        tb = tloop(step, dev)
-        out = step(dev)
-        ok = np.asarray(jax.device_get(out["ldpc_ok"]))
-        tr = np.asarray(jax.device_get(out["trials"]))
-        kb = np.asarray(jax.device_get(out["kbch_bytes"]))
-        res[impl] = (tb, kb)
-        print(f"[{impl:6s}] fused bank step: {tb:.2f} ms = "
-              f"{N_CARRIERS*n/tb/1e3:.1f} Msamp/s  "
-              f"ldpc_ok={ok.sum()}/128 trials mean {tr.mean():.2f}",
-              flush=True)
+    steps = {}
+    combos = [("xla", "natural"), ("pallas", "natural"),
+              ("pallas", "oriented")]
+    for rep in range(2):
+        for rs, sched in combos:
+            frontend.RESAMPLER_IMPL = rs
+            ldpc_pallas.SCHEDULE = sched
+            key = f"{rs}/{sched}"
+            if key not in steps:
+                steps[key], _ = build_carrier_bank(
+                    N_CARRIERS, mc=mc, short=short, block_symbols=BLOCK,
+                    fec="pallas", ingest="cs4")
+            step = steps[key]
+            tb = tloop(step, dev)
+            out = step(dev)
+            ok = np.asarray(jax.device_get(out["ldpc_ok"]))
+            tr = np.asarray(jax.device_get(out["trials"]))
+            kb = np.asarray(jax.device_get(out["kbch_bytes"]))
+            res.setdefault(key, []).append((tb, kb))
+            print(f"[{key:16s}] fused bank step: {tb:.2f} ms = "
+                  f"{N_CARRIERS*n/tb/1e3:.1f} Msamp/s  "
+                  f"ldpc_ok={ok.sum()}/128 trials mean {tr.mean():.2f}",
+                  flush=True)
     frontend.RESAMPLER_IMPL = "auto"
-    same = np.array_equal(res["xla"][1], res["pallas"][1])
-    print(f"kbch_bytes identical across impls: {same}", flush=True)
+    ldpc_pallas.SCHEDULE = "natural"
+    ref = res["xla/natural"][0][1]
+    for key, vals in res.items():
+        same = all(np.array_equal(ref, kb) for _, kb in vals)
+        best = min(tb for tb, _ in vals)
+        print(f"{key}: best {best:.2f} ms, outputs identical: {same}",
+              flush=True)
     print("done", flush=True)
 
 
