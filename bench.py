@@ -125,19 +125,26 @@ def bench_dvbs(jax, jnp):
     n = 2 * (1 << 18)
     blocks = 5
     need = (blocks + 1) * n
+    # enough DISTINCT TS groups to cover `need` without tiling the
+    # ENCODED symbols: tiling tx repeats the encoder/interleaver
+    # start-up transient at every tile seam — a genuinely discontinuous
+    # stream the receiver rightly resyncs on (it cost round 4's 2^18
+    # config its gate; shorter blocks simply never crossed a seam)
+    # samples per framed byte: 8 coded-frame bits x 1 sym/bit x 2 sps /
+    # ... = 16; a group is 8 x 204 = 1632 framed bytes
+    n_groups = -(-need // (16 * 1632)) + 2
     sigs, sents = [], []
     for c in range(N_CARRIERS):
-        ts = dvbs_mod.random_ts_groups(40, seed=40 + c)
+        ts = dvbs_mod.random_ts_groups(n_groups, seed=40 + c)
         mod = dvbs_mod.DVBSModulator(rate="1/2")
         tx = mod.ts_to_symbols(ts)
-        reps = -(-need // (2 * len(tx)))
-        x = channel.shape(np.tile(tx, reps), sps=2)
+        x = channel.shape(tx, sps=2)
         y = channel.impair(x, snr_db=8.0, cfo=(0.004 + 0.002 * c) * np.pi,
                            delay_samples=0.2 + 0.1 * c, sco_ppm=10.0,
                            seed=50 + c)
-        assert len(y) >= need
+        assert len(y) >= need, (len(y), need)
         sigs.append(frontend.pack_cs4(y[:need]))
-        sents.append(np.tile(ts.reshape(-1, 188), (reps + 1, 1)))
+        sents.append(ts.reshape(-1, 188))
 
     st = DVBSBankStream(N_CARRIERS, rate="1/2", block_samples=n,
                         ingest="cs4")
