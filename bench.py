@@ -99,15 +99,25 @@ def s2_carrier_signal(cfg, n_pkts, seed, cfo, delay, payload="ts",
     return y, sent
 
 
-def time_step(jax, step, dev_in, sync_key, reps=10, hints=None):
-    """Per-call ms of a jitted device step (async dispatch, one sync)."""
+def time_step(jax, step, dev_in, sync_key, reps=10, hints=None,
+              batches=3):
+    """Per-call ms of a jitted device step (async dispatch, one sync).
+
+    Takes the MINIMUM over `batches` rep-batches: the harness chip is
+    time-shared and its effective rate swings up to 3x between minutes
+    (observed 13.5 vs 40 ms for the identical program on 2026-08-21);
+    the min batch is the program's sustained rate, the mean is the
+    tenancy weather."""
     o = step(dev_in) if hints is None else step(dev_in, hints)
     np.asarray(jax.device_get(o[sync_key]))
-    t0 = time.time()
-    for _ in range(reps):
-        o = step(dev_in) if hints is None else step(dev_in, hints)
-    np.asarray(jax.device_get(o[sync_key]))
-    return (time.time() - t0) / reps * 1e3
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.time()
+        for _ in range(reps):
+            o = step(dev_in) if hints is None else step(dev_in, hints)
+        np.asarray(jax.device_get(o[sync_key]))
+        best = min(best, (time.time() - t0) / reps * 1e3)
+    return best
 
 
 def bench_dvbs(jax, jnp):
