@@ -53,13 +53,26 @@ TS = frontend._TILE_SYM            # 256 symbols per tile (512 samples)
 TAPS = frontend._FARROW_TAPS       # 10
 DEG = frontend._FARROW_DEG         # 9
 
+# rows-buffer dtype flag ("f32" | "bf16"), read at trace time. bf16
+# halves the rows build's HBM traffic — the single largest item of the
+# S2 block's roofline (708 of 2290 MB, BASELINE.md). The samples are
+# already bf16-matmul products of 4-8-bit quantized IQ well under the
+# AWGN floor, so the extra rounding is invisible next to channel noise
+# (decode-level equivalence asserted on chip before flipping the
+# default; accuracy vs the 128-phase oracle in tests).
+ROWS_DTYPE = "f32"
+
 
 def _kernel(e_re, e_im, o_re, o_im, u_ref, rb_ref,
-            ore_ref, oim_ref, *, TC, WE, shift_bits, coef):
+            ore_ref, oim_ref, *, TC, WE, shift_bits, coef, rows_bf16):
     # rows[t, x] = plane_pp[TS*tile + x], x < WE — built in XLA (an
     # in-kernel lane concat crashes this Mosaic build, bisect v6)
-    re_, ie_ = e_re[0], e_im[0]
-    ro_, io_ = o_re[0], o_im[0]
+    if rows_bf16:
+        re_, ie_ = e_re[0].astype(jnp.float32), e_im[0].astype(jnp.float32)
+        ro_, io_ = o_re[0].astype(jnp.float32), o_im[0].astype(jnp.float32)
+    else:
+        re_, ie_ = e_re[0], e_im[0]
+        ro_, io_ = o_re[0], o_im[0]
 
     rbv = rb_ref[0]                     # [TC, 1] per-tile shifts
     hv = rbv >> 1
@@ -110,9 +123,10 @@ def _parity_mats():
     return np.concatenate([Pe, Po], axis=1)    # [2*TS, 2*TS]
 
 
-@functools.partial(jax.jit, static_argnames=("shift_bits", "tc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("shift_bits", "tc",
+                                             "interpret", "rows_bf16"))
 def _resample_core(y_re, y_im, u, rb, *, shift_bits, tc=16,
-                   interpret=False):
+                   interpret=False, rows_bf16=False):
     """Batched core. y_re/y_im: [C, n2] f32 samples; u: [C, nt, TS] f32
     Farrow band coordinate; rb: [C, nt] int32 biased shifts.
     Returns ([C, nt, TS] f32) x2."""
@@ -173,10 +187,14 @@ def _resample_core(y_re, y_im, u, rb, *, shift_bits, tc=16,
 
     ye_re, ye_im = rows_from(ye_re), rows_from(ye_im)
     yo_re, yo_im = rows_from(yo_re), rows_from(yo_im)
+    if rows_bf16:
+        ye_re, ye_im = (a.astype(jnp.bfloat16) for a in (ye_re, ye_im))
+        yo_re, yo_im = (a.astype(jnp.bfloat16) for a in (yo_re, yo_im))
     coef_np, _, _ = frontend._farrow_coeffs()
     coef = tuple(tuple(float(v) for v in row) for row in coef_np)
     kern = functools.partial(_kernel, TC=TC, WE=WE,
-                             shift_bits=shift_bits, coef=coef)
+                             shift_bits=shift_bits, coef=coef,
+                             rows_bf16=rows_bf16)
     vspec = pl.BlockSpec((1, TC, TS), lambda c, k: (c, k, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, TC, extra * TS), lambda c, k: (c, k, 0),
@@ -220,7 +238,8 @@ def _resample_batched(y2: jax.Array, t: jax.Array, tc: int = 32,
          / halfr).astype(jnp.float32)
     out_re, out_im = _resample_core(
         jnp.real(y2).astype(jnp.float32), jnp.imag(y2).astype(jnp.float32),
-        u, rb, shift_bits=shift_bits, tc=tc, interpret=interpret)
+        u, rb, shift_bits=shift_bits, tc=tc, interpret=interpret,
+        rows_bf16=ROWS_DTYPE == "bf16")
     out = out_re.reshape(C, Sp)[:, :S] + 1j * out_im.reshape(C, Sp)[:, :S]
     return out.astype(jnp.complex64)
 
